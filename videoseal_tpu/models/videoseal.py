@@ -1,0 +1,306 @@
+"""VideoSeal pipeline: embed / detect / extract_message for images and videos.
+
+Functional parity with videoseal/models/{wam,videoseal}.py, redesigned
+TPU-first:
+
+* The reference's Python chunk loop (videoseal.py:292-340) becomes
+  ``jax.lax.map(..., batch_size=chunk_size)`` — one compiled program whose
+  memory is bounded by the chunk size, with the remainder handled by the
+  primitive itself.
+* Frames ride the batch dimension; the embedder runs on key frames only
+  (1 in step_size), and video-mode expansion (repeat / alternate /
+  interpolate, videoseal.py:80-118) is a gather/linear-mix on device.
+* JND attenuation + blending + clamping at full resolution — the
+  memory-bound stage — is a single fused computation (see
+  kernels/fused_blend.py for the Pallas version).
+* `scaling_w` is a traced scalar: strength sweeps don't recompile.
+
+Layout: NHWC, [0,1] floats. Messages are (B, nbits) int {0,1}.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..modules.jnd import JND, build_attenuation
+from ..modules.msg_processor import get_random_msg
+from ..ops.color import rgb_to_y
+from ..ops.resize import resize_bilinear
+from .blender import blend
+from .embedder import EmbedderSpec, build_embedder
+from .extractor import ExtractorSpec, build_extractor
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Static pipeline knobs (hashable -> usable as jit static arg)."""
+    img_size: int = 256
+    clamp: bool = True
+    blending_method: str = "additive"
+    chunk_size: int = 32
+    step_size: int = 4
+    video_mode: str = "repeat"
+    lowres_attenuation: bool = False
+    yuv: bool = False
+    nbits: int = 256
+
+
+# ---------------------------------------------------------------------------
+# pure pipeline functions (jitted; modules/cfg/attenuation are static)
+# ---------------------------------------------------------------------------
+
+def _expand_video_mode(preds: jnp.ndarray, total_frames: int, step_size: int,
+                       video_mode: str) -> jnp.ndarray:
+    """Expand key-frame predictions to all frames (videoseal.py:80-118)."""
+    if step_size == 1:
+        return preds[:total_frames]
+    if video_mode == "repeat":
+        out = jnp.repeat(preds, step_size, axis=0)
+    elif video_mode == "alternate":
+        n = preds.shape[0]
+        out = jnp.zeros((n * step_size,) + preds.shape[1:], preds.dtype)
+        out = out.at[::step_size].set(preds)
+    elif video_mode == "interpolate":
+        # linear mix between consecutive key frames (videoseal.py:101-117)
+        n = preds.shape[0]
+        alpha = 1.0 - jnp.linspace(0.0, 1.0, step_size)  # (step,)
+        start = jnp.repeat(preds[:-1], step_size, axis=0) if n > 1 else preds[:0]
+        end = jnp.repeat(preds[1:], step_size, axis=0) if n > 1 else preds[:0]
+        a = jnp.tile(alpha, max(n - 1, 0)).reshape((-1,) + (1,) * (preds.ndim - 1))
+        interp = a * start + (1 - a) * end
+        tail_len = n * step_size - interp.shape[0]
+        tail = jnp.broadcast_to(preds[-1][None], (tail_len,) + preds.shape[1:])
+        out = jnp.concatenate([interp, tail], axis=0)
+    else:
+        raise ValueError(f"Unknown video_mode {video_mode}")
+    return out[:total_frames]
+
+
+def _chunked_apply(fn, xs, chunk_size: int):
+    """Apply a batched fn over the leading axis in chunks of chunk_size.
+
+    Replaces the reference's Python chunk loops (videoseal.py:292-340,376-383)
+    with a single compiled ``lax.map`` over chunk groups; bounds peak memory on
+    long clips. The remainder is padded (extra work, not extra compile).
+    """
+    leaves = jax.tree_util.tree_leaves(xs)
+    n = leaves[0].shape[0]
+    if n <= chunk_size:
+        return fn(xs)
+    pad = (-n) % chunk_size
+    if pad:
+        xs = jax.tree_util.tree_map(
+            lambda a: jnp.concatenate([a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])]), xs)
+    xs = jax.tree_util.tree_map(
+        lambda a: a.reshape((n + pad) // chunk_size, chunk_size, *a.shape[1:]), xs)
+    ys = jax.lax.map(fn, xs)
+    return jax.tree_util.tree_map(lambda a: a.reshape(-1, *a.shape[2:])[:n], ys)
+
+
+def embed_pipeline(embedder, attenuation: JND | None, cfg: PipelineConfig,
+                   variables, imgs, msgs, scaling_w, scaling_i,
+                   is_video: bool, lowres_attenuation: bool):
+    """Shared embed path (wam.py:134-204 / videoseal.py:258-350).
+
+    imgs: (B|F, H, W, 3); msgs: (B, nbits) for images, (1, nbits) for video.
+    Returns (imgs_w, preds_w_fullres).
+    """
+    h, w = imgs.shape[-3], imgs.shape[-2]
+    s = cfg.img_size
+    imgs_res = resize_bilinear(imgs, s, s)
+
+    def run_embedder(inp_msgs):
+        inp, m = inp_msgs
+        x = rgb_to_y(inp) if cfg.yuv else inp
+        return embedder.apply(variables, x, m)
+
+    if is_video:
+        keys = imgs_res[::cfg.step_size]
+        key_msgs = jnp.broadcast_to(msgs[:1], (keys.shape[0], msgs.shape[-1]))
+        preds = _chunked_apply(run_embedder, (keys, key_msgs), cfg.chunk_size)
+        preds = _expand_video_mode(preds, imgs.shape[0], cfg.step_size, cfg.video_mode)
+    else:
+        preds = _chunked_apply(run_embedder, (imgs_res, msgs), cfg.chunk_size)
+
+    if attenuation is not None and lowres_attenuation:
+        preds = attenuation.heatmaps(imgs_res) * preds  # broadcast 1->3 channels
+    preds_full = resize_bilinear(preds, h, w)
+    if attenuation is not None and not lowres_attenuation:
+        preds_full = attenuation.heatmaps(imgs) * preds_full
+    imgs_w = blend(cfg.blending_method, imgs, preds_full, scaling_i, scaling_w)
+    if cfg.clamp:
+        imgs_w = jnp.clip(imgs_w, 0.0, 1.0)
+    return imgs_w, preds_full
+
+
+def detect_pipeline(extractor, cfg: PipelineConfig, variables, imgs):
+    """Shared detect path (wam.py:206-234 / videoseal.py:352-388)."""
+    s = cfg.img_size
+    imgs_res = resize_bilinear(imgs, s, s)
+
+    def run(x):
+        return extractor.apply(variables, x)
+
+    return _chunked_apply(run, imgs_res, cfg.chunk_size)
+
+
+def aggregate_message(preds: jnp.ndarray, aggregation: str = "avg"):
+    """Frame aggregation -> binary message (videoseal.py:390-428).
+
+    preds: (F, 1+nbits) detector logits.
+    """
+    bit_preds = preds[:, 1:]
+    if aggregation is None or aggregation == "none":
+        return bit_preds
+    if aggregation == "avg":
+        decoded = bit_preds.mean(axis=0)
+    elif aggregation == "squared_avg":
+        decoded = (bit_preds * jnp.abs(bit_preds)).mean(axis=0)
+    elif aggregation == "l1norm_avg":
+        wgt = jnp.sum(jnp.abs(bit_preds), axis=1, keepdims=True)
+        decoded = (bit_preds * wgt).mean(axis=0)
+    elif aggregation == "l2norm_avg":
+        wgt = jnp.sqrt(jnp.sum(bit_preds ** 2, axis=1, keepdims=True))
+        decoded = (bit_preds * wgt).mean(axis=0)
+    else:
+        raise ValueError(f"Unknown aggregation {aggregation}")
+    return (decoded > 0)[None].astype(jnp.int32)  # (1, nbits)
+
+
+# ---------------------------------------------------------------------------
+# user-facing model
+# ---------------------------------------------------------------------------
+
+class VideoSeal:
+    """Stateful convenience wrapper mirroring the reference public API
+    (videoseal.py:16-428): embed / detect / extract_message with is_video.
+    """
+
+    def __init__(self, embedder_spec: EmbedderSpec, extractor_spec: ExtractorSpec,
+                 embedder_vars, extractor_vars, attenuation: JND | None,
+                 cfg: PipelineConfig, scaling_w: float = 0.2, scaling_i: float = 1.0,
+                 card: dict | None = None, seed: int = 0):
+        self.embedder_spec = embedder_spec
+        self.extractor_spec = extractor_spec
+        self.embedder_vars = embedder_vars
+        self.extractor_vars = extractor_vars
+        self.attenuation = attenuation
+        self.cfg = cfg
+        self.scaling_w = scaling_w  # mutable knob, traced (no recompile)
+        self.scaling_i = scaling_i
+        self.card = card or {}
+        self._rng = np.random.default_rng(seed)
+
+        self._embed_fn = jax.jit(
+            functools.partial(embed_pipeline, embedder_spec.module, attenuation, cfg),
+            static_argnames=("is_video", "lowres_attenuation"))
+        self._detect_fn = jax.jit(
+            functools.partial(detect_pipeline, extractor_spec.module, cfg))
+
+    # -- messages ----------------------------------------------------------
+    @property
+    def nbits(self) -> int:
+        return self.cfg.nbits
+
+    def get_random_msg(self, bsz: int = 1, nb_repetitions: int = 1) -> jnp.ndarray:
+        key = jax.random.PRNGKey(int(self._rng.integers(2 ** 31)))
+        return get_random_msg(key, self.nbits, bsz, nb_repetitions)
+
+    # -- inference ---------------------------------------------------------
+    def embed(self, imgs, msgs=None, is_video: bool = False,
+              lowres_attenuation: bool | None = None) -> dict:
+        """imgs: (B|F, H, W, 3) in [0,1]. Returns dict with imgs_w/preds_w/msgs."""
+        imgs = jnp.asarray(imgs)
+        if msgs is None:
+            msgs = self.get_random_msg(1 if is_video else imgs.shape[0])
+        msgs = jnp.asarray(msgs)
+        if is_video and msgs.shape[0] != 1:
+            raise ValueError("Message should be unique for video (videoseal.py:281)")
+        lowres = (self.cfg.lowres_attenuation if lowres_attenuation is None
+                  else lowres_attenuation)
+        imgs_w, preds_w = self._embed_fn(
+            self.embedder_vars, imgs, msgs,
+            jnp.float32(self.scaling_w), jnp.float32(self.scaling_i),
+            is_video=is_video, lowres_attenuation=lowres)
+        n = imgs.shape[0]
+        out_msgs = jnp.broadcast_to(msgs[:1], (n, msgs.shape[-1])) if is_video else msgs
+        return {"imgs_w": imgs_w, "preds_w": preds_w, "msgs": out_msgs}
+
+    def detect(self, imgs, is_video: bool = False) -> dict:
+        """imgs: (B|F, H, W, 3) -> preds (B|F, 1+nbits[, H, W])."""
+        preds = self._detect_fn(self.extractor_vars, jnp.asarray(imgs))
+        return {"preds": preds}
+
+    def extract_message(self, imgs, aggregation: str = "avg") -> jnp.ndarray:
+        preds = self.detect(imgs, is_video=True)["preds"]
+        if preds.ndim == 4:  # pixelwise extractor: average spatially first
+            preds = preds.mean(axis=(1, 2))
+        return aggregate_message(preds, aggregation)
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def from_card(cls, card: dict, checkpoint: str | None = None, seed: int = 0):
+        args = card.get("args", {})
+        nbits = int(args.get("nbits", 256))
+        img_size = int(args.get("img_size_proc", args.get("img_size", 256)))
+        emb_cfg = card["embedder"]
+        ext_cfg = card["extractor"]
+        embedder_spec = build_embedder(
+            emb_cfg["model"], emb_cfg.get("params", {}), nbits,
+            float(args.get("hidden_size_multiplier", 2.0)))
+        extractor_spec = build_extractor(
+            ext_cfg["model"], ext_cfg.get("params", {}), img_size, nbits)
+        attenuation = build_attenuation(args.get("attenuation"))
+        cfg = PipelineConfig(
+            img_size=img_size,
+            blending_method=args.get("blending_method", "additive"),
+            chunk_size=int(args.get("videoseal_chunk_size",
+                                    args.get("videowam_chunk_size", 32))),
+            step_size=int(args.get("videoseal_step_size",
+                                   args.get("videowam_step_size", 4))),
+            video_mode=args.get("video_mode", "repeat"),
+            lowres_attenuation=bool(args.get("lowres_attenuation", False)),
+            yuv=embedder_spec.yuv,
+            nbits=nbits,
+        )
+
+        if checkpoint is None:
+            checkpoint = card.get("checkpoint_path")
+        embedder_vars, extractor_vars = _init_or_load(
+            embedder_spec, extractor_spec, cfg, card, checkpoint, seed)
+
+        return cls(embedder_spec, extractor_spec, embedder_vars, extractor_vars,
+                   attenuation, cfg,
+                   scaling_w=float(args.get("scaling_w", 1.0)),
+                   scaling_i=float(args.get("scaling_i", 1.0)),
+                   card=card, seed=seed)
+
+
+def _init_or_load(embedder_spec, extractor_spec, cfg: PipelineConfig, card,
+                  checkpoint: str | None, seed: int):
+    """Random-init params, then overwrite from a checkpoint if given.
+
+    Supported checkpoint formats: reference ``.pth`` (converted on the fly via
+    utils/torch_convert) and this framework's native ``.npz``
+    (utils/checkpoint.py). Remote URLs are ignored (zero-egress environment).
+    """
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    s = cfg.img_size
+    in_c = 1 if cfg.yuv else 3
+    dummy_img = jnp.zeros((1, s, s, in_c))
+    dummy_full = jnp.zeros((1, s, s, 3))
+    dummy_msg = jnp.zeros((1, cfg.nbits), jnp.int32)
+    embedder_vars = embedder_spec.module.init(k1, dummy_img, dummy_msg)
+    extractor_vars = extractor_spec.module.init(k2, dummy_full)
+
+    if checkpoint and not str(checkpoint).startswith(("http://", "https://")):
+        from ..utils import checkpoint as ckpt_io
+        embedder_vars, extractor_vars = ckpt_io.load_into(
+            str(checkpoint), card, embedder_vars, extractor_vars)
+    return embedder_vars, extractor_vars

@@ -210,56 +210,104 @@ def convert_pixel_decoder(sd: Mapping[str, Any], *, n_stages: int, pixelwise: bo
 # full-model conversion from a model card + reference checkpoint
 # ---------------------------------------------------------------------------
 
-def _merge(trees: list[tuple[str, dict]]) -> dict:
-    """Merge sub-variables under top-level module names."""
-    out: dict = {}
-    for name, var in trees:
-        for coll, sub in var.items():
-            out.setdefault(coll, {})[name] = sub
-    return out
+def _nest(variables: dict, name: str) -> dict:
+    """Wrap each collection's tree under a submodule name."""
+    return {coll: {name: sub} for coll, sub in variables.items()}
 
 
-def convert_model(sd: Mapping[str, Any], card: dict) -> dict:
-    """Reference full checkpoint (embedder.* / detector.*) -> our variables.
+def convert_model(sd: Mapping[str, Any], card: dict) -> tuple[dict, dict]:
+    """Reference full checkpoint (embedder.* / detector.*) -> (embedder_vars,
+    extractor_vars) matching models.embedder/extractor module trees.
 
-    Card is a videoseal_tpu card dict (cards/*.yaml). Returns variables for
-    models.videoseal.VideoSeal ({'params': {'embedder':..., 'extractor':...},
-    'batch_stats': ...}).
+    Card is a videoseal_tpu card dict (cards/*.yaml).
     """
     emb_cfg = card["embedder"]
     ext_cfg = card["extractor"]
-    trees = []
     if emb_cfg["model"].startswith("unet"):
         u = emb_cfg["params"]["unet"]
-        trees.append(("embedder", convert_unet_msg(
+        emb_vars = _nest(convert_unet_msg(
             sd, normalization=u["normalization"],
             n_levels=len(u["z_channels_mults"]), num_blocks=u["num_blocks"],
             prefix="embedder.unet.", conv_layer=u.get("conv_layer", "conv2d"),
-            upsampling_type=u.get("upsampling_type", "bilinear"))))
+            upsampling_type=u.get("upsampling_type", "bilinear")), "unet")
     else:
-        raise NotImplementedError(f"embedder {emb_cfg['model']}")
+        raise NotImplementedError(f"embedder {emb_cfg['model']} conversion")
     if ext_cfg["model"].startswith("convnext"):
         enc = ext_cfg["params"]["encoder"]
         pd = ext_cfg["params"]["pixel_decoder"]
-        trees.append(("encoder", convert_convnext(
+        enc_vars = convert_convnext(
             sd, depths=enc["depths"], prefix="detector.convnext.",
-            temporal_convs=enc.get("temporal_convs", False))))
-        trees.append(("pixel_decoder", convert_pixel_decoder(
+            temporal_convs=enc.get("temporal_convs", False))
+        dec_vars = convert_pixel_decoder(
             sd, n_stages=len(pd["upscale_stages"]), pixelwise=pd.get("pixelwise", False),
             prefix="detector.pixel_decoder.",
-            upscale_type=pd.get("upscale_type", "bilinear"))))
+            upscale_type=pd.get("upscale_type", "bilinear"))
+        ext_vars = {"params": {"encoder": enc_vars["params"],
+                               "pixel_decoder": dec_vars["params"]}}
+    elif ext_cfg["model"].startswith("sam"):
+        enc_vars = convert_vit(sd, depth=ext_cfg["params"]["encoder"]["depth"],
+                               prefix="detector.image_encoder.")
+        pd = ext_cfg["params"]["pixel_decoder"]
+        dec_vars = convert_pixel_decoder(
+            sd, n_stages=len(pd["upscale_stages"]), pixelwise=pd.get("pixelwise", False),
+            prefix="detector.pixel_decoder.",
+            upscale_type=pd.get("upscale_type", "bilinear"))
+        ext_vars = {"params": {"encoder": enc_vars["params"],
+                               "pixel_decoder": dec_vars["params"]}}
     else:
-        raise NotImplementedError(f"extractor {ext_cfg['model']}")
-    merged = _merge(trees)
-    # extractor params live under one "extractor" module with encoder+pixel_decoder
-    for coll in merged:
-        enc = merged[coll].pop("encoder", None)
-        dec = merged[coll].pop("pixel_decoder", None)
-        ext = {}
-        if enc:
-            ext["encoder"] = enc
-        if dec:
-            ext["pixel_decoder"] = dec
-        if ext:
-            merged[coll]["extractor"] = ext
-    return merged
+        raise NotImplementedError(f"extractor {ext_cfg['model']} conversion")
+    return emb_vars, ext_vars
+
+
+def convert_vit(sd: Mapping[str, Any], *, depth: int, prefix: str = "",
+                temporal: bool = False) -> dict:
+    """Reference ImageEncoderViT (vit.py:14-143) -> params tree."""
+    p = {}
+    _set(p, "patch_embed/kernel", _c2d(sd[f"{prefix}patch_embed.proj.weight"]))
+    _set(p, "patch_embed/bias", sd[f"{prefix}patch_embed.proj.bias"])
+    if f"{prefix}pos_embed" in sd:
+        _set(p, "pos_embed", sd[f"{prefix}pos_embed"])
+    if f"{prefix}pos_embed_temporal" in sd:
+        _set(p, "pos_embed_temporal", sd[f"{prefix}pos_embed_temporal"])
+    for i in range(depth):
+        t = f"{prefix}blocks.{i}"
+        o = f"block_{i}"
+        for n in ("norm1", "norm2"):
+            _set(p, f"{o}/{n}/scale", sd[f"{t}.{n}.weight"])
+            _set(p, f"{o}/{n}/bias", sd[f"{t}.{n}.bias"])
+        _set(p, f"{o}/attn/qkv/kernel", _lin(sd[f"{t}.attn.qkv.weight"]))
+        if f"{t}.attn.qkv.bias" in sd:
+            _set(p, f"{o}/attn/qkv/bias", sd[f"{t}.attn.qkv.bias"])
+        _set(p, f"{o}/attn/proj/kernel", _lin(sd[f"{t}.attn.proj.weight"]))
+        _set(p, f"{o}/attn/proj/bias", sd[f"{t}.attn.proj.bias"])
+        if f"{t}.attn.rel_pos_h" in sd:
+            _set(p, f"{o}/attn/rel_pos_h", sd[f"{t}.attn.rel_pos_h"])
+            _set(p, f"{o}/attn/rel_pos_w", sd[f"{t}.attn.rel_pos_w"])
+        _set(p, f"{o}/mlp/lin1/kernel", _lin(sd[f"{t}.mlp.lin1.weight"]))
+        _set(p, f"{o}/mlp/lin1/bias", sd[f"{t}.mlp.lin1.bias"])
+        _set(p, f"{o}/mlp/lin2/kernel", _lin(sd[f"{t}.mlp.lin2.weight"]))
+        _set(p, f"{o}/mlp/lin2/bias", sd[f"{t}.mlp.lin2.bias"])
+        if temporal:
+            t2 = f"{prefix}temp_blocks.{i}"
+            o2 = f"temp_block_{i}"
+            for n in ("norm1", "norm2"):
+                _set(p, f"{o2}/{n}/scale", sd[f"{t2}.{n}.weight"])
+                _set(p, f"{o2}/{n}/bias", sd[f"{t2}.{n}.bias"])
+            _set(p, f"{o2}/attn/qkv/kernel", _lin(sd[f"{t2}.attn.qkv.weight"]))
+            if f"{t2}.attn.qkv.bias" in sd:
+                _set(p, f"{o2}/attn/qkv/bias", sd[f"{t2}.attn.qkv.bias"])
+            _set(p, f"{o2}/attn/proj/kernel", _lin(sd[f"{t2}.attn.proj.weight"]))
+            _set(p, f"{o2}/attn/proj/bias", sd[f"{t2}.attn.proj.bias"])
+            if f"{t2}.attn.rel_pos" in sd:
+                _set(p, f"{o2}/attn/rel_pos", sd[f"{t2}.attn.rel_pos"])
+            _set(p, f"{o2}/mlp/lin1/kernel", _lin(sd[f"{t2}.mlp.lin1.weight"]))
+            _set(p, f"{o2}/mlp/lin1/bias", sd[f"{t2}.mlp.lin1.bias"])
+            _set(p, f"{o2}/mlp/lin2/kernel", _lin(sd[f"{t2}.mlp.lin2.weight"]))
+            _set(p, f"{o2}/mlp/lin2/bias", sd[f"{t2}.mlp.lin2.bias"])
+    _set(p, "neck_conv1/kernel", _c2d(sd[f"{prefix}neck.0.weight"]))
+    _set(p, "neck_norm1/weight", sd[f"{prefix}neck.1.weight"])
+    _set(p, "neck_norm1/bias", sd[f"{prefix}neck.1.bias"])
+    _set(p, "neck_conv2/kernel", _c2d(sd[f"{prefix}neck.2.weight"]))
+    _set(p, "neck_norm2/weight", sd[f"{prefix}neck.3.weight"])
+    _set(p, "neck_norm2/bias", sd[f"{prefix}neck.3.bias"])
+    return {"params": p}
