@@ -1,0 +1,94 @@
+"""Validation attack sweeps (parity: videoseal/augmentation/__init__.py:12-124).
+
+Returns [(aug, [strengths...]), ...] — the robustness evaluation grid. Codec
+attacks use the on-device proxy by default; evals/attacks.py can substitute
+exact host codecs where libjpeg/PIL is available.
+"""
+
+from __future__ import annotations
+
+from . import augs as A
+
+
+class Sequential(A.Aug):
+    """Chain augs with per-aug strength tuples (sequential.py:8-31)."""
+
+    def __init__(self, *augs):
+        self.augs = augs
+        self.name = "+".join(a.name for a in augs)
+
+    def apply(self, key, img, mask):
+        import jax
+        for a in self.augs:
+            key, k = jax.random.split(key)
+            img, mask = a.apply(k, img, mask)
+        return img, mask
+
+    def apply_strength(self, img, mask, strengths):
+        for a, s in zip(self.augs, strengths):
+            img, mask = a.apply_strength(img, mask, s)
+        return img, mask
+
+    def __repr__(self):
+        return "_".join(repr(a) for a in self.augs)
+
+
+def get_validation_augs_subset(is_video: bool = False) -> list:
+    return [
+        (A.Identity(), [0]),
+        (A.Crop(), [0.71]),
+        (A.Brightness(), [1.5]),
+        (A.JPEG(), [60]) if not is_video
+        else (A.VideoCompressionProxy(codec="h264"), [30]),
+    ]
+
+
+def get_combined_augs(is_video: bool = False) -> list:
+    first = (A.VideoCompressionProxy(codec="h264") if is_video else A.JPEG())
+    vals = [23, 30, 40, 50] if is_video else [40, 60, 80]
+    return [(Sequential(first, A.Crop(), A.Brightness()), [(v, 0.71, 0.5)])
+            for v in vals]
+
+
+def get_validation_augs(is_video: bool = False, only_identity: bool = False,
+                        only_combined: bool = False) -> list:
+    """Mirror of augmentation/__init__.py:58-124 strength grids."""
+    if only_identity:
+        return [(A.Identity(), [0])]
+    if only_combined:
+        return get_combined_augs(is_video)
+    if is_video:
+        return [
+            (A.Identity(), [0]),
+            (A.HorizontalFlip(), [0]),
+            (A.Rotate(), [10, 90]),
+            (A.Resize(), [0.55, 0.71]),
+            (A.Crop(), [0.55, 0.71]),
+            (A.Perspective(), [0.5]),
+            (A.Brightness(), [0.5, 1.5]),
+            (A.Contrast(), [0.5, 1.5]),
+            (A.Saturation(), [0.5, 1.5]),
+            (A.Hue(), [0.25]),
+            (A.Grayscale(), [-1]),
+            (A.JPEG(), [40]),
+            (A.GaussianBlur(), [9]),
+            (A.VideoCompressionProxy(codec="h264"), [23, 30, 40, 50]),
+            (A.VideoCompressionProxy(codec="h264rgb"), [23, 30, 40, 50]),
+            (A.VideoCompressionProxy(codec="h265"), [23, 30, 40, 50]),
+            *get_combined_augs(is_video=True),
+        ]
+    return [
+        (A.Identity(), [0]),
+        (A.HorizontalFlip(), [0]),
+        (A.Rotate(), [5, 10, 30, 45, 90]),
+        (A.Resize(), [0.32, 0.45, 0.55, 0.63, 0.71, 0.77, 0.84, 0.89, 0.95, 1.00]),
+        (A.Crop(), [0.32, 0.45, 0.55, 0.63, 0.71, 0.77, 0.84, 0.89, 0.95, 1.00]),
+        (A.Perspective(), [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]),
+        (A.Brightness(), [0.1, 0.25, 0.5, 0.75, 1.0, 1.25, 1.5, 1.75, 2.0]),
+        (A.Contrast(), [0.1, 0.25, 0.5, 0.75, 1.0, 1.25, 1.5, 1.75, 2.0]),
+        (A.Hue(), [-0.4, -0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3, 0.4, 0.5]),
+        (A.Grayscale(), [-1]),
+        (A.JPEG(), [40, 50, 60, 70, 80, 90]),
+        (A.GaussianBlur(), [3, 5, 9, 13, 17]),
+        *get_combined_augs(is_video=False),
+    ]
