@@ -1,0 +1,109 @@
+"""Host-side EXACT codec attacks for evaluation parity.
+
+The training path uses on-device differentiable proxies (augmentation/augs.py);
+evaluation robustness numbers, like the reference's, should use real codecs
+(videoseal/augmentation/valuemetric.py:21-50, video.py:20-259). This
+environment has no PyAV/ffmpeg binary; OpenCV's bundled FFMPEG provides:
+
+  jpeg / webp        -> cv2.imencode (bit-exact libjpeg/libwebp round trip)
+  mpeg4 (mp4v), vp9, mjpeg -> cv2.VideoWriter round trip (no CRF control;
+                        quality via VIDEOWRITER_PROP_QUALITY where supported)
+  h264 / h265        -> NOT available in this image; evals fall back to the
+                        DCT-quantization proxy and mark the column "(proxy)".
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+
+
+def _to_u8(img: np.ndarray) -> np.ndarray:
+    return np.clip(np.asarray(img) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+
+def jpeg_exact(img: np.ndarray, quality: int) -> np.ndarray:
+    """PIL/libjpeg-exact JPEG round trip of (..., H, W, 3) RGB in [0,1]
+    (parity: utils/image.py:13-37)."""
+    import cv2
+    x = _to_u8(img)
+    single = x.ndim == 3
+    if single:
+        x = x[None]
+    out = np.empty_like(x)
+    for i in range(x.shape[0]):
+        ok, buf = cv2.imencode(".jpg", x[i][..., ::-1],
+                               [cv2.IMWRITE_JPEG_QUALITY, int(quality)])
+        assert ok
+        out[i] = cv2.imdecode(buf, cv2.IMREAD_COLOR)[..., ::-1]
+    out = out.astype(np.float32) / 255.0
+    return out[0] if single else out
+
+
+def webp_exact(img: np.ndarray, quality: int) -> np.ndarray:
+    """WebP round trip (parity: utils/image.py:40-58)."""
+    import cv2
+    x = _to_u8(img)
+    single = x.ndim == 3
+    if single:
+        x = x[None]
+    out = np.empty_like(x)
+    for i in range(x.shape[0]):
+        ok, buf = cv2.imencode(".webp", x[i][..., ::-1],
+                               [cv2.IMWRITE_WEBP_QUALITY, int(quality)])
+        assert ok
+        out[i] = cv2.imdecode(buf, cv2.IMREAD_COLOR)[..., ::-1]
+    out = out.astype(np.float32) / 255.0
+    return out[0] if single else out
+
+
+_FOURCC = {"mpeg4": ("mp4v", ".mp4"), "vp9": ("VP90", ".mp4"),
+           "mjpeg": ("MJPG", ".avi")}
+
+
+def video_codec_exact(frames: np.ndarray, codec: str = "mpeg4",
+                      fps: int = 24, quality: float | None = None) -> np.ndarray:
+    """Real encode/decode round trip of (F, H, W, 3) RGB float frames
+    (parity: augmentation/video.py:20-119's in-memory PyAV round trip)."""
+    import cv2
+    fourcc, ext = _FOURCC[codec]
+    x = _to_u8(frames)
+    f, h, w, _ = x.shape
+    path = tempfile.mktemp(suffix=ext)
+    try:
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*fourcc), fps, (w, h))
+        if not vw.isOpened():
+            raise RuntimeError(f"codec {codec} unavailable")
+        if quality is not None:
+            vw.set(cv2.VIDEOWRITER_PROP_QUALITY, float(quality))
+        for i in range(f):
+            vw.write(x[i][..., ::-1])
+        vw.release()
+        cap = cv2.VideoCapture(path)
+        out = np.empty_like(x)
+        for i in range(f):
+            ret, fr = cap.read()
+            if not ret:
+                fr = out[max(i - 1, 0)][..., ::-1]
+            out[i] = fr[..., ::-1]
+        cap.release()
+    finally:
+        if os.path.exists(path):
+            os.remove(path)
+    return out.astype(np.float32) / 255.0
+
+
+def available_video_codecs() -> list[str]:
+    import cv2
+    ok = []
+    for name, (fourcc, ext) in _FOURCC.items():
+        path = tempfile.mktemp(suffix=ext)
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*fourcc), 24, (64, 64))
+        if vw.isOpened():
+            ok.append(name)
+            vw.release()
+        if os.path.exists(path):
+            os.remove(path)
+    return ok

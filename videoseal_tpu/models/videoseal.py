@@ -20,9 +20,12 @@ Layout: NHWC, [0,1] floats. Messages are (B, nbits) int {0,1}.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import functools
 from typing import Any
+
+_nullcontext = contextlib.nullcontext
 
 import numpy as np
 import jax
@@ -39,7 +42,16 @@ from .extractor import ExtractorSpec, build_extractor
 
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
-    """Static pipeline knobs (hashable -> usable as jit static arg)."""
+    """Static pipeline knobs (hashable -> usable as jit static arg).
+
+    Performance knobs (bench/serving defaults differ from parity-test
+    defaults): compute_dtype="bfloat16" runs the embedder/extractor forwards
+    on the MXU in bf16 (params must be cast too — VideoSeal.with_dtype);
+    resize_precision="default" uses single-pass bf16 resize matmuls instead
+    of 6-pass f32 emulation (~1 LSB at 8-bit scale). The full-resolution
+    JND + blend stage always runs in float32 — the watermark residual is
+    ~1e-2 scale and bf16 there would quantize it visibly.
+    """
     img_size: int = 256
     clamp: bool = True
     blending_method: str = "additive"
@@ -49,6 +61,8 @@ class PipelineConfig:
     lowres_attenuation: bool = False
     yuv: bool = False
     nbits: int = 256
+    compute_dtype: str = "float32"
+    resize_precision: str = "highest"
 
 
 # ---------------------------------------------------------------------------
@@ -113,12 +127,13 @@ def embed_pipeline(embedder, attenuation: JND | None, cfg: PipelineConfig,
     """
     h, w = imgs.shape[-3], imgs.shape[-2]
     s = cfg.img_size
-    imgs_res = resize_bilinear(imgs, s, s)
+    cdtype = jnp.dtype(cfg.compute_dtype)
+    imgs_res = resize_bilinear(imgs, s, s, precision=cfg.resize_precision)
 
     def run_embedder(inp_msgs):
         inp, m = inp_msgs
         x = rgb_to_y(inp) if cfg.yuv else inp
-        return embedder.apply(variables, x, m)
+        return embedder.apply(variables, x.astype(cdtype), m)
 
     if is_video:
         keys = imgs_res[::cfg.step_size]
@@ -128,9 +143,10 @@ def embed_pipeline(embedder, attenuation: JND | None, cfg: PipelineConfig,
     else:
         preds = _chunked_apply(run_embedder, (imgs_res, msgs), cfg.chunk_size)
 
+    preds = preds.astype(jnp.float32)  # fullres watermark math stays f32
     if attenuation is not None and lowres_attenuation:
-        preds = attenuation.heatmaps(imgs_res) * preds  # broadcast 1->3 channels
-    preds_full = resize_bilinear(preds, h, w)
+        preds = attenuation.heatmaps(imgs_res.astype(jnp.float32)) * preds
+    preds_full = resize_bilinear(preds, h, w, precision=cfg.resize_precision)
     if attenuation is not None and not lowres_attenuation:
         preds_full = attenuation.heatmaps(imgs) * preds_full
     imgs_w = blend(cfg.blending_method, imgs, preds_full, scaling_i, scaling_w)
@@ -142,10 +158,11 @@ def embed_pipeline(embedder, attenuation: JND | None, cfg: PipelineConfig,
 def detect_pipeline(extractor, cfg: PipelineConfig, variables, imgs):
     """Shared detect path (wam.py:206-234 / videoseal.py:352-388)."""
     s = cfg.img_size
-    imgs_res = resize_bilinear(imgs, s, s)
+    cdtype = jnp.dtype(cfg.compute_dtype)
+    imgs_res = resize_bilinear(imgs, s, s, precision=cfg.resize_precision)
 
     def run(x):
-        return extractor.apply(variables, x)
+        return extractor.apply(variables, x.astype(cdtype)).astype(jnp.float32)
 
     return _chunked_apply(run, imgs_res, cfg.chunk_size)
 
@@ -243,6 +260,20 @@ class VideoSeal:
             preds = preds.mean(axis=(1, 2))
         return aggregate_message(preds, aggregation)
 
+    def with_dtype(self, dtype: str = "bfloat16", resize_precision: str = "default"):
+        """Return a copy configured for serving-speed inference: params cast
+        to `dtype`, model forwards in `dtype`, single-pass resize matmuls.
+        Full-res JND+blend stays f32 (see PipelineConfig docstring)."""
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype) if jnp.issubdtype(
+                jnp.asarray(a).dtype, jnp.floating) else jnp.asarray(a), t)
+        cfg = dataclasses.replace(self.cfg, compute_dtype=dtype,
+                                  resize_precision=resize_precision)
+        return VideoSeal(self.embedder_spec, self.extractor_spec,
+                         cast(self.embedder_vars), cast(self.extractor_vars),
+                         self.attenuation, cfg, scaling_w=self.scaling_w,
+                         scaling_i=self.scaling_i, card=self.card)
+
     # -- construction ------------------------------------------------------
     @classmethod
     def from_card(cls, card: dict, checkpoint: str | None = None, seed: int = 0):
@@ -296,8 +327,16 @@ def _init_or_load(embedder_spec, extractor_spec, cfg: PipelineConfig, card,
     dummy_img = jnp.zeros((1, s, s, in_c))
     dummy_full = jnp.zeros((1, s, s, 3))
     dummy_msg = jnp.zeros((1, cfg.nbits), jnp.int32)
-    embedder_vars = embedder_spec.module.init(k1, dummy_img, dummy_msg)
-    extractor_vars = extractor_spec.module.init(k2, dummy_full)
+    # init on CPU: param creation needs no accelerator, and remote-TPU
+    # (tunnelled) compilation of init programs is pathologically slow
+    try:
+        cpu0 = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu0 = None
+    ctx = jax.default_device(cpu0) if cpu0 is not None else _nullcontext()
+    with ctx:
+        embedder_vars = embedder_spec.module.init(k1, dummy_img, dummy_msg)
+        extractor_vars = extractor_spec.module.init(k2, dummy_full)
 
     if checkpoint and not str(checkpoint).startswith(("http://", "https://")):
         from ..utils import checkpoint as ckpt_io

@@ -1,0 +1,242 @@
+"""Training entry point (parity: reference train.py).
+
+Wires dataset -> Augmenter -> GAN train step (parallel/trainer.py) -> periodic
+eval + checkpointing. Single-host multi-chip data parallelism comes from the
+mesh; multi-host works after jax.distributed.initialize() (flag).
+
+Smoke run (synthetic data, tiny model):
+  python -m videoseal_tpu.train --synthetic 1 --steps 20 --tiny 1
+Real run:
+  python -m videoseal_tpu.train --card videoseal_1.0 \
+      --image_dataset /data/coco --epochs 100 --iter_per_epoch 1000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def get_parser():
+    p = argparse.ArgumentParser("videoseal_tpu training")
+    # model
+    p.add_argument("--card", default="videoseal_1.0",
+                   help="model card providing embedder/extractor configs")
+    p.add_argument("--nbits", type=int, default=None)
+    p.add_argument("--img_size", type=int, default=256)
+    p.add_argument("--scaling_w", type=float, default=0.2)
+    p.add_argument("--scaling_w_schedule", default=None,
+                   help='e.g. "Cosine,scaling_min=0.2,start_epoch=200,epochs=200"')
+    p.add_argument("--scaling_i", type=float, default=1.0)
+    p.add_argument("--attenuation", default="jnd_1_1")
+    # losses (train.py lambda_* flags)
+    p.add_argument("--lambda_dec", type=float, default=1.0)
+    p.add_argument("--lambda_det", type=float, default=0.0)
+    p.add_argument("--lambda_i", type=float, default=0.5)
+    p.add_argument("--lambda_d", type=float, default=0.1)
+    p.add_argument("--perceptual_loss", default="yuv")
+    p.add_argument("--balanced", type=int, default=1)
+    p.add_argument("--total_gnorm", type=float, default=1.0)
+    p.add_argument("--disc_start", type=int, default=0)
+    p.add_argument("--disc_num_layers", type=int, default=2)
+    p.add_argument("--temperature", type=float, default=1.0)
+    # optimizers
+    p.add_argument("--optimizer", default="AdamW,lr=1e-4")
+    p.add_argument("--optimizer_d", default="AdamW,lr=5e-5")
+    p.add_argument("--scheduler", default=None)
+    # data
+    p.add_argument("--image_dataset", default=None)
+    p.add_argument("--video_dataset", default=None)
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--batch_size_video", type=int, default=1)
+    p.add_argument("--frames_per_clip", type=int, default=16)
+    p.add_argument("--prop_img_vid", type=float, default=0.5,
+                   help="fraction of video epochs in hybrid modality")
+    p.add_argument("--augmentation_config", default=None,
+                   help="YAML with {masks, augs, augs_params}")
+    p.add_argument("--num_augs", type=int, default=2)
+    # schedule
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--iter_per_epoch", type=int, default=1000)
+    p.add_argument("--steps", type=int, default=None,
+                   help="override: total steps (smoke runs)")
+    p.add_argument("--seed", type=int, default=444)
+    p.add_argument("--tiny", type=int, default=0, help="tiny debug model")
+    # io
+    p.add_argument("--output_dir", default="outputs")
+    p.add_argument("--saveckpt_freq", type=int, default=10)
+    p.add_argument("--eval_freq", type=int, default=5)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--distributed", type=int, default=0,
+                   help="call jax.distributed.initialize() (multi-host)")
+    return p
+
+
+TINY_CARD = {
+    "args": {"attenuation": "jnd_1_1", "nbits": 16, "hidden_size_multiplier": 2,
+             "img_size_proc": 64, "blending_method": "additive",
+             "scaling_w": 0.2, "scaling_i": 1.0},
+    "embedder": {"model": "unet_tiny_yuv", "params": {
+        "msg_processor": {"msg_processor_type": "binary+concat"},
+        "unet": {"in_channels": 1, "out_channels": 1, "z_channels": 8,
+                 "num_blocks": 2, "activation": "relu", "normalization": "batch",
+                 "z_channels_mults": [1, 2], "last_tanh": True}}},
+    "extractor": {"model": "convnext_tiny", "params": {
+        "encoder": {"depths": [1, 1, 2, 1], "dims": [16, 32, 64, 128]},
+        "pixel_decoder": {"pixelwise": False, "upscale_stages": [1],
+                          "embed_dim": 128, "sigmoid_output": False}}},
+}
+
+DEFAULT_AUGS = {
+    "masks": {"kind": None},
+    "augs": {"identity": 4, "jpeg": 1, "resize": 1, "crop": 1, "rotate": 1,
+             "hflip": 1, "perspective": 1, "gaussian_blur": 1, "median_filter": 1,
+             "brightness": 1, "contrast": 1, "saturation": 1, "hue": 1,
+             "h264": 1, "h264rgb": 1, "h265": 1},
+    "augs_params": {
+        "resize": {"min_size": 0.7, "max_size": 1.5},
+        "crop": {"min_size": 0.5, "max_size": 1.0},
+        "rotate": {"min_angle": -10, "max_angle": 10, "do90": True},
+        "perspective": {"min_distortion_scale": 0.1, "max_distortion_scale": 0.5},
+        "jpeg": {"min_quality": 40, "max_quality": 80},
+        "gaussian_blur": {"min_kernel_size": 3, "max_kernel_size": 17},
+        "median_filter": {"min_kernel_size": 3, "max_kernel_size": 3},
+        "brightness": {"min_factor": 0.5, "max_factor": 2},
+        "contrast": {"min_factor": 0.5, "max_factor": 2.0},
+        "saturation": {"min_factor": 0.5, "max_factor": 2},
+        "hue": {"min_factor": -0.1, "max_factor": 0.1},
+        "h264": {"min_crf": 28, "max_crf": 36},
+        "h264rgb": {"min_crf": 28, "max_crf": 36},
+        "h265": {"min_crf": 28, "max_crf": 36},
+    },
+}
+
+
+def main(args=None):
+    args = args or get_parser().parse_args()
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import yaml
+
+    if args.distributed:
+        jax.distributed.initialize()
+
+    from .augmentation.augmenter import build_augmenter
+    from .losses.videosealloss import VideoSealLoss
+    from .models.embedder import build_embedder
+    from .models.extractor import build_extractor
+    from .models.videoseal import PipelineConfig
+    from .modules.discriminator import NLayerDiscriminator
+    from .modules.jnd import build_attenuation
+    from .parallel import mesh as pmesh
+    from .parallel.trainer import TrainerModules, create_train_state, make_train_step
+    from .utils.cfg import load_card
+    from .utils.optim import (ScalingSchedule, build_lr_schedule,
+                              build_optimizer, parse_params)
+    from .utils.logger import MetricLogger
+    from .utils import checkpoint as ckpt_io
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    card = TINY_CARD if args.tiny else load_card(args.card)
+    cargs = card["args"]
+    nbits = args.nbits or int(cargs.get("nbits", 256))
+    img_size = int(cargs.get("img_size_proc", args.img_size))
+
+    emb = build_embedder(card["embedder"]["model"], card["embedder"]["params"],
+                         nbits, float(cargs.get("hidden_size_multiplier", 2)))
+    ext = build_extractor(card["extractor"]["model"], card["extractor"]["params"],
+                          img_size, nbits)
+    if args.augmentation_config:
+        with open(args.augmentation_config) as f:
+            aug_cfg = yaml.safe_load(f)
+    else:
+        aug_cfg = DEFAULT_AUGS
+    augmenter = build_augmenter(aug_cfg, num_augs=args.num_augs)
+    cfg = PipelineConfig(img_size=img_size, yuv=emb.yuv, nbits=nbits,
+                         blending_method=cargs.get("blending_method", "additive"))
+    mods = TrainerModules(
+        embedder=emb.module, extractor=ext.module,
+        discriminator=NLayerDiscriminator(n_layers=args.disc_num_layers),
+        augmenter=augmenter, attenuation=build_attenuation(args.attenuation),
+        cfg=cfg,
+        loss=VideoSealLoss(balanced=bool(args.balanced), total_norm=args.total_gnorm,
+                           disc_weight=args.lambda_d, percep_weight=args.lambda_i,
+                           detect_weight=args.lambda_det, decode_weight=args.lambda_dec,
+                           disc_start=args.disc_start,
+                           percep_loss=args.perceptual_loss),
+        scaling_i=args.scaling_i, temperature=args.temperature,
+        balanced=bool(args.balanced))
+
+    base_lr = parse_params(args.optimizer).get("lr", 1e-4)
+    sched = build_lr_schedule(args.scheduler, args.iter_per_epoch, base_lr)
+    opt_g = build_optimizer(args.optimizer, schedule=sched if args.scheduler else None)
+    opt_d = build_optimizer(args.optimizer_d)
+    state = create_train_state(mods, opt_g, opt_d, seed=args.seed,
+                               scaling_w=args.scaling_w)
+    if args.resume:
+        state = ckpt_io.load_train_state(args.resume, state)
+
+    scaling_sched = (ScalingSchedule(args.scaling_w_schedule, args.scaling_w)
+                     if args.scaling_w_schedule else None)
+
+    # data
+    if args.synthetic or not args.image_dataset:
+        from .data.datasets import SyntheticImages
+        dataset = SyntheticImages(4096, img_size=img_size, seed=args.seed)
+    else:
+        from .data.datasets import ImageFolder
+        dataset = ImageFolder(args.image_dataset, img_size=img_size)
+    from .data.loader import DataLoader
+    loader = DataLoader(dataset, args.batch_size, seed=args.seed,
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count())
+
+    mesh = pmesh.make_mesh()
+    step_fn = make_train_step(mods, opt_g, opt_d, is_video=False)
+    logger = MetricLogger()
+    key = jax.random.PRNGKey(args.seed)
+
+    total_steps = args.steps or args.epochs * args.iter_per_epoch
+    log_path = os.path.join(args.output_dir, "log.txt")
+    it = 0
+    t_start = time.time()
+    with mesh:
+        state = jax.device_put(state, pmesh.replicated(mesh))
+        epoch = 0
+        while it < total_steps:
+            loader.set_epoch(epoch)
+            if scaling_sched is not None:
+                state = state.replace(scaling_w=jnp.float32(scaling_sched(epoch)))
+            for batch in loader:
+                if it >= total_steps:
+                    break
+                key, k = jax.random.split(key)
+                batch = pmesh.shard_batch(mesh, batch)
+                state, logs = step_fn(state, batch, k)
+                logger.update(**{k2: float(v) for k2, v in logs.items()})
+                if it % 10 == 0 and jax.process_index() == 0:
+                    line = logger.line(prefix=f"step {it}/{total_steps}")
+                    print(line, flush=True)
+                    with open(log_path, "a") as f:
+                        f.write(json.dumps({"step": it, **logger.averages()}) + "\n")
+                it += 1
+            epoch += 1
+            if jax.process_index() == 0 and epoch % args.saveckpt_freq == 0:
+                ckpt_io.save_train_state(
+                    os.path.join(args.output_dir, "checkpoint.npz"), state)
+    if jax.process_index() == 0:
+        ckpt_io.save_train_state(
+            os.path.join(args.output_dir, "checkpoint.npz"), state)
+        print(f"done: {it} steps in {time.time() - t_start:.1f}s; "
+              f"final {logger.line()}", flush=True)
+    return state, logger
+
+
+if __name__ == "__main__":
+    main()

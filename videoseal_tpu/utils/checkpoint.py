@@ -68,6 +68,52 @@ def _check_and_cast(loaded: dict, template: dict, where: str = "") -> dict:
     return out
 
 
+def save_train_state(path: str, state) -> None:
+    """Flatten a parallel.trainer.TrainState to .npz (single-writer; call on
+    process 0 only — parity: utils/dist.py:38-40 save_on_master)."""
+    import jax
+
+    host_state = jax.device_get(state)
+    flat = {}
+    for field in ("embedder_params", "embedder_stats", "extractor_params",
+                  "disc_params", "opt_state_g", "opt_state_d"):
+        sub = getattr(host_state, field)
+        leaves, treedef = jax.tree_util.tree_flatten(sub)
+        flat[f"__treedef__{field}"] = np.frombuffer(
+            repr(treedef).encode(), dtype=np.uint8)
+        for i, leaf in enumerate(leaves):
+            flat[f"{field}{SEP}{i}"] = np.asarray(leaf)
+    flat["step"] = np.asarray(host_state.step)
+    flat["scaling_w"] = np.asarray(host_state.scaling_w)
+    np.savez(path, **flat)
+
+
+def load_train_state(path: str, template):
+    """Restore into an existing (freshly created) TrainState template."""
+    import jax
+
+    data = np.load(path, allow_pickle=False)
+    out = template
+    for field in ("embedder_params", "embedder_stats", "extractor_params",
+                  "disc_params", "opt_state_g", "opt_state_d"):
+        sub = getattr(template, field)
+        leaves, treedef = jax.tree_util.tree_flatten(sub)
+        new_leaves = []
+        for i, leaf in enumerate(leaves):
+            arr = data[f"{field}{SEP}{i}"]
+            if tuple(arr.shape) != tuple(np.asarray(leaf).shape):
+                raise ValueError(f"shape mismatch restoring {field}[{i}]")
+            new_leaves.append(arr)
+        out = out.replace(**{field: jax.tree_util.tree_unflatten(treedef, new_leaves)})
+    return out.replace(step=jnp_asarray(data["step"]),
+                       scaling_w=jnp_asarray(data["scaling_w"]))
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x)
+
+
 def load_into(path: str, card: dict, embedder_vars: dict, extractor_vars: dict):
     """Load .npz (native) or .pth (reference torch) into init-shaped variables."""
     if path.endswith(".pth") or path.endswith(".pt"):
