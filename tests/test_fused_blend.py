@@ -1,0 +1,50 @@
+"""Fused Pallas JND+blend kernel vs the unfused XLA reference path.
+
+Runs in Pallas interpret mode on CPU; exactness on real TPU is covered by the
+bench/verify drives.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from videoseal_tpu.kernels.fused_blend import (fused_jnd_blend, _pick_tile,
+                                               supports_fused_blend)
+from videoseal_tpu.models.blender import blend
+from videoseal_tpu.modules.jnd import JND
+
+
+def _ref(imgs, preds, si, sw):
+    jnd = JND(in_channels=1, out_channels=3)
+    h = jnd.heatmaps(imgs)
+    return jnp.clip(blend("additive", imgs, h * preds, si, sw), 0.0, 1.0)
+
+
+class TestFusedBlend:
+    @pytest.mark.parametrize("pred_c", [1, 3])
+    def test_matches_reference(self, pred_c):
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.uniform(0, 1, (2, 64, 48, 3)).astype(np.float32))
+        preds = jnp.asarray(rng.uniform(-1, 1, (2, 64, 48, pred_c)).astype(np.float32))
+        ref = _ref(imgs, preds, 1.0, 0.2)
+        out = fused_jnd_blend(imgs, preds, 1.0, 0.2, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_multi_tile_rows(self):
+        rng = np.random.default_rng(1)
+        imgs = jnp.asarray(rng.uniform(0, 1, (1, 192, 40, 3)).astype(np.float32))
+        preds = jnp.asarray(rng.uniform(-1, 1, (1, 192, 40, 1)).astype(np.float32))
+        assert _pick_tile(192) < 192  # forces >1 tile
+        out = fused_jnd_blend(imgs, preds, 1.0, 0.3, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(imgs, preds, 1.0, 0.3)),
+                                   atol=2e-5)
+
+    def test_supports_predicate(self):
+        jnd = JND(in_channels=1, out_channels=3)
+        assert supports_fused_blend(1080, 1920, 1, jnd, "additive")
+        assert not supports_fused_blend(1080, 1920, 1, jnd, "multiplicative")
+        assert not supports_fused_blend(1080, 1920, 1, None, "additive")
+        assert not supports_fused_blend(
+            1080, 1920, 1, JND(in_channels=3, out_channels=1), "additive")
+        assert not supports_fused_blend(1031, 1920, 1, jnd, "additive")  # prime H

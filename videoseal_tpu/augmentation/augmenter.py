@@ -36,8 +36,16 @@ name2aug = {
     "h264rgb": lambda **kw: A.VideoCompressionProxy(codec="h264rgb", **kw),
     "h265": lambda **kw: A.VideoCompressionProxy(codec="h265", **kw),
     "video_compression": lambda **kw: A.VideoCompressionProxy(codec="h264", **kw),
+    # exact host codecs (native libavcodec, straight-through gradient)
+    "h264_exact": lambda **kw: A.VideoCompressionExact(codec="h264", **kw),
+    "h264rgb_exact": lambda **kw: A.VideoCompressionExact(codec="h264rgb", **kw),
+    "h265_exact": lambda **kw: A.VideoCompressionExact(codec="h265", **kw),
+    "vp9_exact": lambda **kw: A.VideoCompressionExact(codec="vp9", **kw),
+    "av1_exact": lambda **kw: A.VideoCompressionExact(codec="av1", **kw),
 }
-video_augs = ["video_compression", "h264", "h264rgb", "h265"]
+video_augs = ["video_compression", "h264", "h264rgb", "h265",
+              "h264_exact", "h264rgb_exact", "h265_exact", "vp9_exact",
+              "av1_exact"]
 
 
 class Augmenter:

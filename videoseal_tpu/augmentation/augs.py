@@ -407,6 +407,62 @@ def _crf_to_quality(crf):
     return jnp.clip(100.0 - 2.0 * crf, 5.0, 95.0)
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _codec_roundtrip_ste(x, crf, codec, fps):
+    """Host codec round trip with identity (straight-through) gradient.
+
+    custom_vjp makes the pure_callback opaque to AD (it has no JVP rule);
+    the backward pass is the identity on x — exactly the reference's
+    `(codec(x) - x).detach() + x` (video.py:113)."""
+    from .. import native
+
+    def host_fn(frames, c):
+        return native.video_roundtrip(np.asarray(frames), codec,
+                                      crf=int(c), fps=fps)
+
+    return jax.pure_callback(host_fn, jax.ShapeDtypeStruct(x.shape, jnp.float32),
+                             x, crf)
+
+
+def _codec_ste_fwd(x, crf, codec, fps):
+    return _codec_roundtrip_ste(x, crf, codec, fps), None
+
+
+def _codec_ste_bwd(codec, fps, res, g):
+    return g, jnp.zeros((), jnp.float32)
+
+
+_codec_roundtrip_ste.defvjp(_codec_ste_fwd, _codec_ste_bwd)
+
+
+@dataclasses.dataclass
+class VideoCompressionExact(Aug):
+    """EXACT codec attack through the native libavcodec runtime with a
+    straight-through gradient (parity: augmentation/video.py:106-113 — the
+    reference's PyAV round trip). Costs one device->host->device round trip
+    per application, exactly like the reference's CPU detour; use
+    VideoCompressionProxy for fully on-device steps."""
+    min_crf: int = 28
+    max_crf: int = 36
+    codec: str = "h264"
+    fps: int = 24
+    name = "h264"
+
+    def apply(self, key, img, mask):
+        crf = jax.random.uniform(key, (), minval=float(self.min_crf),
+                                 maxval=float(self.max_crf + 1))
+        return self.apply_strength(img, mask, crf)
+
+    def apply_strength(self, img, mask, strength):
+        clean = jnp.clip(img.astype(jnp.float32), 0.0, 1.0)
+        out = _codec_roundtrip_ste(clean, jnp.asarray(strength, jnp.float32),
+                                   self.codec, self.fps)
+        return out, mask
+
+
 @dataclasses.dataclass
 class VideoCompressionProxy(Aug):
     """On-device differentiable stand-in for H264/H265/VP9/AV1 (video.py:20-259).

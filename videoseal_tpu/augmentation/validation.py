@@ -33,18 +33,25 @@ class Sequential(A.Aug):
         return "_".join(repr(a) for a in self.augs)
 
 
+def _codec(codec: str):
+    """Exact native codec when available, differentiable proxy otherwise."""
+    from .. import native
+    if native.available() and native.codec_available(codec):
+        return A.VideoCompressionExact(codec=codec)
+    return A.VideoCompressionProxy(codec=codec)
+
+
 def get_validation_augs_subset(is_video: bool = False) -> list:
     return [
         (A.Identity(), [0]),
         (A.Crop(), [0.71]),
         (A.Brightness(), [1.5]),
-        (A.JPEG(), [60]) if not is_video
-        else (A.VideoCompressionProxy(codec="h264"), [30]),
+        (A.JPEG(), [60]) if not is_video else (_codec("h264"), [30]),
     ]
 
 
 def get_combined_augs(is_video: bool = False) -> list:
-    first = (A.VideoCompressionProxy(codec="h264") if is_video else A.JPEG())
+    first = (_codec("h264") if is_video else A.JPEG())
     vals = [23, 30, 40, 50] if is_video else [40, 60, 80]
     return [(Sequential(first, A.Crop(), A.Brightness()), [(v, 0.71, 0.5)])
             for v in vals]
@@ -72,9 +79,10 @@ def get_validation_augs(is_video: bool = False, only_identity: bool = False,
             (A.Grayscale(), [-1]),
             (A.JPEG(), [40]),
             (A.GaussianBlur(), [9]),
-            (A.VideoCompressionProxy(codec="h264"), [23, 30, 40, 50]),
-            (A.VideoCompressionProxy(codec="h264rgb"), [23, 30, 40, 50]),
-            (A.VideoCompressionProxy(codec="h265"), [23, 30, 40, 50]),
+            (_codec("h264"), [23, 30, 40, 50]),
+            (_codec("h264rgb"), [23, 30, 40, 50]),
+            (_codec("h265"), [23, 30, 40, 50]),
+            (_codec("vp9"), [30]),
             *get_combined_augs(is_video=True),
         ]
     return [

@@ -62,11 +62,22 @@ def webp_exact(img: np.ndarray, quality: int) -> np.ndarray:
 _FOURCC = {"mpeg4": ("mp4v", ".mp4"), "vp9": ("VP90", ".mp4"),
            "mjpeg": ("MJPG", ".avi")}
 
+_NATIVE_CODECS = ("h264", "h264rgb", "h265", "vp9", "av1", "mpeg4", "mjpeg")
+
 
 def video_codec_exact(frames: np.ndarray, codec: str = "mpeg4",
-                      fps: int = 24, quality: float | None = None) -> np.ndarray:
+                      fps: int = 24, quality: float | None = None,
+                      crf: int | None = None) -> np.ndarray:
     """Real encode/decode round trip of (F, H, W, 3) RGB float frames
-    (parity: augmentation/video.py:20-119's in-memory PyAV round trip)."""
+    (parity: augmentation/video.py:20-119's in-memory PyAV round trip).
+
+    Prefers the native libavcodec runtime (native/media.cpp) — exact
+    libx264/x265/vp9/av1 with CRF control; falls back to cv2's bundled
+    FFMPEG (mpeg4/vp9/mjpeg, no CRF)."""
+    from .. import native
+    if codec in _NATIVE_CODECS and native.available() and native.codec_available(codec):
+        return native.video_roundtrip(np.asarray(frames), codec,
+                                      crf if crf is not None else 28, fps)
     import cv2
     fourcc, ext = _FOURCC[codec]
     x = _to_u8(frames)

@@ -63,6 +63,7 @@ class PipelineConfig:
     nbits: int = 256
     compute_dtype: str = "float32"
     resize_precision: str = "highest"
+    fused_blend: bool = False  # Pallas JND+blend kernel (TPU serving mode)
 
 
 # ---------------------------------------------------------------------------
@@ -148,6 +149,12 @@ def embed_pipeline(embedder, attenuation: JND | None, cfg: PipelineConfig,
         preds = attenuation.heatmaps(imgs_res.astype(jnp.float32)) * preds
     preds_full = resize_bilinear(preds, h, w, precision=cfg.resize_precision)
     if attenuation is not None and not lowres_attenuation:
+        if cfg.fused_blend and cfg.clamp:
+            from ..kernels.fused_blend import fused_jnd_blend, supports_fused_blend
+            if supports_fused_blend(h, w, preds_full.shape[-1], attenuation,
+                                    cfg.blending_method):
+                imgs_w = fused_jnd_blend(imgs, preds_full, scaling_i, scaling_w)
+                return imgs_w, preds_full
         preds_full = attenuation.heatmaps(imgs) * preds_full
     imgs_w = blend(cfg.blending_method, imgs, preds_full, scaling_i, scaling_w)
     if cfg.clamp:
@@ -260,15 +267,19 @@ class VideoSeal:
             preds = preds.mean(axis=(1, 2))
         return aggregate_message(preds, aggregation)
 
-    def with_dtype(self, dtype: str = "bfloat16", resize_precision: str = "default"):
+    def with_dtype(self, dtype: str = "bfloat16", resize_precision: str = "default",
+                   fused_blend: bool | None = None):
         """Return a copy configured for serving-speed inference: params cast
-        to `dtype`, model forwards in `dtype`, single-pass resize matmuls.
-        Full-res JND+blend stays f32 (see PipelineConfig docstring)."""
+        to `dtype`, model forwards in `dtype`, single-pass resize matmuls,
+        Pallas fused JND+blend on TPU. Full-res blend math stays f32."""
         cast = lambda t: jax.tree_util.tree_map(
             lambda a: jnp.asarray(a, dtype) if jnp.issubdtype(
                 jnp.asarray(a).dtype, jnp.floating) else jnp.asarray(a), t)
+        if fused_blend is None:
+            fused_blend = jax.default_backend() not in ("cpu",)
         cfg = dataclasses.replace(self.cfg, compute_dtype=dtype,
-                                  resize_precision=resize_precision)
+                                  resize_precision=resize_precision,
+                                  fused_blend=fused_blend)
         return VideoSeal(self.embedder_spec, self.extractor_spec,
                          cast(self.embedder_vars), cast(self.extractor_vars),
                          self.attenuation, cfg, scaling_w=self.scaling_w,
@@ -321,20 +332,22 @@ def _init_or_load(embedder_spec, extractor_spec, cfg: PipelineConfig, card,
     utils/torch_convert) and this framework's native ``.npz``
     (utils/checkpoint.py). Remote URLs are ignored (zero-egress environment).
     """
-    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
     s = cfg.img_size
     in_c = 1 if cfg.yuv else 3
-    dummy_img = jnp.zeros((1, s, s, in_c))
-    dummy_full = jnp.zeros((1, s, s, 3))
-    dummy_msg = jnp.zeros((1, cfg.nbits), jnp.int32)
     # init on CPU: param creation needs no accelerator, and remote-TPU
-    # (tunnelled) compilation of init programs is pathologically slow
+    # (tunnelled) compilation of init programs is pathologically slow. All
+    # inputs (including the PRNG keys!) must be created inside the context,
+    # else they commit the computation to the accelerator.
     try:
         cpu0 = jax.devices("cpu")[0]
     except RuntimeError:
         cpu0 = None
     ctx = jax.default_device(cpu0) if cpu0 is not None else _nullcontext()
     with ctx:
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        dummy_img = jnp.zeros((1, s, s, in_c))
+        dummy_full = jnp.zeros((1, s, s, 3))
+        dummy_msg = jnp.zeros((1, cfg.nbits), jnp.int32)
         embedder_vars = embedder_spec.module.init(k1, dummy_img, dummy_msg)
         extractor_vars = extractor_spec.module.init(k2, dummy_full)
 

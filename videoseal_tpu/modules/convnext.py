@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -52,6 +53,56 @@ class TemporalConv(nn.Module):
         return y[0]
 
 
+class StemConv(nn.Module):
+    """4x4 stride-{2,4} stem conv, reformulated as space-to-depth + matmul.
+
+    A direct conv with 3 input channels contracts over only 48 values —
+    XLA/MXU lowers that an order of magnitude below peak. Space-to-depth
+    (exact: stride 4 -> pure 4x4 patches; stride 2 -> 2x2 conv over depth-4C)
+    turns it into a dense matmul. The parameter keeps the reference HWIO
+    (4, 4, C, D) shape so converted checkpoints are untouched.
+    """
+    features: int
+    stride: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (4, 4, c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        kernel = kernel.astype(x.dtype)
+        bias = bias.astype(x.dtype)
+        hh, ww = x.shape[-3], x.shape[-2]
+        lead = x.shape[:-3]
+        if self.stride == 4 and hh % 4 == 0 and ww % 4 == 0:
+            y = x.reshape(lead + (hh // 4, 4, ww // 4, 4, c))
+            y = jnp.moveaxis(y, -4, -3)                      # (..., h, w, dy, dx, c)
+            y = y.reshape(lead + (hh // 4, ww // 4, 16 * c))
+            out = jnp.einsum("...k,kf->...f", y, kernel.reshape(16 * c, self.features))
+            return out + bias
+        if self.stride == 2 and hh % 2 == 0 and ww % 2 == 0:
+            y = x.reshape(lead + (hh // 2, 2, ww // 2, 2, c))
+            y = jnp.moveaxis(y, -4, -3)
+            y = y.reshape((-1,) + (hh // 2, ww // 2, 4 * c))
+            k2 = kernel.reshape(2, 2, 2, 2, c, self.features)
+            k2 = jnp.transpose(k2, (0, 2, 1, 3, 4, 5)).reshape(2, 2, 4 * c, self.features)
+            dn = jax.lax.conv_dimension_numbers(y.shape, k2.shape,
+                                                ("NHWC", "HWIO", "NHWC"))
+            out = jax.lax.conv_general_dilated(y, k2, (1, 1), "VALID",
+                                               dimension_numbers=dn)
+            out = out.reshape(lead + out.shape[1:])
+            return out + bias
+        # fallback: plain conv
+        dn = jax.lax.conv_dimension_numbers(
+            ((1,) + x.shape[-3:]), kernel.shape, ("NHWC", "HWIO", "NHWC"))
+        flat = x.reshape((-1,) + x.shape[-3:])
+        out = jax.lax.conv_general_dilated(flat, kernel,
+                                           (self.stride, self.stride), "VALID",
+                                           dimension_numbers=dn)
+        return out.reshape(lead + out.shape[1:]) + bias
+
+
 class ConvNeXtV2(nn.Module):
     """4-stage ConvNeXtV2 feature extractor (convnext.py:88-156).
 
@@ -65,9 +116,8 @@ class ConvNeXtV2(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # stem: 4x4 conv stride stem_stride + LN (convnext.py:108-111)
-        x = nn.Conv(self.dims[0], (4, 4), strides=(self.stem_stride, self.stem_stride),
-                    padding="VALID", name="stem_conv")(x)
+        # stem: 4x4 conv stride stem_stride + LN (convnext.py:108-111).
+        x = StemConv(self.dims[0], self.stem_stride, name="stem_conv")(x)
         x = ChannelLayerNorm(name="stem_norm")(x)
         for j in range(self.depths[0]):
             x = ConvNeXtBlock(self.dims[0], name=f"stage0_block{j}")(x)

@@ -1,0 +1,149 @@
+"""ctypes bindings for the native C++ media runtime (native/media.cpp).
+
+Compiled lazily on first use (g++ + system libav*; ~2s) and cached. All
+functions fall back gracefully — callers check `available()` and use the
+cv2/proxy paths otherwise.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native")
+_SO = os.path.join(_NATIVE_DIR, "libvideoseal_media.so")
+
+_lib = None
+_lock = threading.Lock()
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(
+                        os.path.join(_NATIVE_DIR, "media.cpp"))):
+                subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
+                               capture_output=True, timeout=180)
+            lib = ctypes.CDLL(_SO)
+            lib.vsm_last_error.restype = ctypes.c_char_p
+            lib.vsm_codec_available.argtypes = [ctypes.c_char_p]
+            lib.vsm_video_roundtrip.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+            lib.vsm_open.restype = ctypes.c_void_p
+            lib.vsm_open.argtypes = [ctypes.c_char_p]
+            lib.vsm_info.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 4
+            lib.vsm_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+            lib.vsm_seek_frame.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+            lib.vsm_close.argtypes = [ctypes.c_void_p]
+            lib.vsm_encode_file.argtypes = [
+                ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def codec_available(codec: str) -> bool:
+    lib = _load()
+    return bool(lib and lib.vsm_codec_available(codec.encode()))
+
+
+def _to_u8(frames: np.ndarray) -> np.ndarray:
+    if frames.dtype == np.uint8:
+        return np.ascontiguousarray(frames)
+    return np.ascontiguousarray(
+        np.clip(frames * 255.0 + 0.5, 0, 255).astype(np.uint8))
+
+
+def video_roundtrip(frames: np.ndarray, codec: str = "h264", crf: int = 28,
+                    fps: int = 24) -> np.ndarray:
+    """EXACT codec attack: encode+decode (F, H, W, 3) frames ([0,1] float or
+    uint8). Parity: augmentation/video.py:20-119. Pads odd dims to even
+    (video.py:100-104). Returns float32 in [0,1]."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native media runtime unavailable")
+    u8 = _to_u8(frames)
+    f, h, w, _ = u8.shape
+    ph, pw = h % 2, w % 2
+    if ph or pw:
+        u8 = np.pad(u8, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    out = np.empty_like(u8)
+    n = lib.vsm_video_roundtrip(
+        u8.ctypes.data_as(ctypes.c_void_p), f, u8.shape[1], u8.shape[2],
+        codec.encode(), int(crf), int(fps), out.ctypes.data_as(ctypes.c_void_p))
+    if n < 0:
+        raise RuntimeError(f"roundtrip failed: {lib.vsm_last_error().decode()}")
+    if ph or pw:
+        out = out[:, :h, :w]
+    return out.astype(np.float32) / 255.0
+
+
+class VideoReader:
+    """Sequential/seekable frame reader (decord replacement)."""
+
+    def __init__(self, path: str):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native media runtime unavailable")
+        self._lib = lib
+        self._h = lib.vsm_open(path.encode())
+        if not self._h:
+            raise IOError(lib.vsm_last_error().decode())
+        w = ctypes.c_int()
+        ht = ctypes.c_int()
+        fps = ctypes.c_double()
+        nf = ctypes.c_int64()
+        lib.vsm_info(self._h, ctypes.byref(w), ctypes.byref(ht),
+                     ctypes.byref(fps), ctypes.byref(nf))
+        self.width, self.height = w.value, ht.value
+        self.fps, self.nframes = fps.value, nf.value
+
+    def read(self, n: int) -> np.ndarray:
+        buf = np.empty((n, self.height, self.width, 3), np.uint8)
+        got = self._lib.vsm_read(self._h, buf.ctypes.data_as(ctypes.c_void_p), n)
+        return buf[:got]
+
+    def seek(self, frame_idx: int) -> None:
+        self._lib.vsm_seek_frame(self._h, int(frame_idx))
+
+    def close(self):
+        if self._h:
+            self._lib.vsm_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def encode_file(path: str, frames: np.ndarray, codec: str = "h264",
+                crf: int = 23, fps: int = 24) -> None:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native media runtime unavailable")
+    u8 = _to_u8(frames)
+    f, h, w, _ = u8.shape
+    n = lib.vsm_encode_file(path.encode(), u8.ctypes.data_as(ctypes.c_void_p),
+                            f, h, w, codec.encode(), int(crf), int(fps))
+    if n < 0:
+        raise RuntimeError(f"encode failed: {lib.vsm_last_error().decode()}")
