@@ -82,7 +82,13 @@ _REGISTRY: dict[str, LossFn] = {
 def build_loss(name: str, weights_dir: str | None = None) -> LossFn:
     if name in _REGISTRY:
         return _REGISTRY[name]
-    if name in ("lpips", "watson_vgg", "dists", "watson_dft"):
+    if name == "watson_dft":
+        # self-contained block-FFT Watson distance; reference loads externally
+        # trained sensitivity weights (perceptual.py:48-53) — default init here,
+        # trained params loadable via losses/watson_fft.py params_per_channel
+        from .watson_fft import watson_fft_loss
+        return watson_fft_loss
+    if name in ("lpips", "watson_vgg", "dists"):
         from . import lpips as _lp
         return _lp.build(name, weights_dir)
     raise ValueError(f"Loss type {name} not supported.")

@@ -185,22 +185,38 @@ def main(args=None):
     scaling_sched = (ScalingSchedule(args.scaling_w_schedule, args.scaling_w)
                      if args.scaling_w_schedule else None)
 
-    # data
-    if args.synthetic or not args.image_dataset:
-        from .data.datasets import SyntheticImages
-        dataset = SyntheticImages(4096, img_size=img_size, seed=args.seed)
-    else:
-        from .data.datasets import ImageFolder
-        dataset = ImageFolder(args.image_dataset, img_size=img_size)
+    # data: image and/or video datasets; hybrid modality picks per epoch
+    # (parity: train.py:471-495 modality selection)
     from .data.loader import DataLoader
-    loader = DataLoader(dataset, args.batch_size, seed=args.seed,
-                        process_index=jax.process_index(),
-                        process_count=jax.process_count())
+    loaders = {}
+    if args.synthetic or not (args.image_dataset or args.video_dataset):
+        from .data.datasets import SyntheticImages
+        ds = SyntheticImages(4096, img_size=img_size, seed=args.seed)
+        loaders["img"] = DataLoader(ds, args.batch_size, seed=args.seed,
+                                    process_index=jax.process_index(),
+                                    process_count=jax.process_count())
+    if args.image_dataset and not args.synthetic:
+        from .data.datasets import ImageFolder
+        ds = ImageFolder(args.image_dataset, img_size=img_size)
+        loaders["img"] = DataLoader(ds, args.batch_size, seed=args.seed,
+                                    process_index=jax.process_index(),
+                                    process_count=jax.process_count())
+    if args.video_dataset:
+        from .data.datasets import VideoClipDataset
+        vds = VideoClipDataset(args.video_dataset,
+                               frames_per_clip=args.frames_per_clip,
+                               img_size=img_size, seed=args.seed)
+        loaders["vid"] = DataLoader(vds, args.batch_size_video, seed=args.seed,
+                                    process_index=jax.process_index(),
+                                    process_count=jax.process_count())
 
     mesh = pmesh.make_mesh()
-    step_fn = make_train_step(mods, opt_g, opt_d, is_video=False)
+    step_fns = {"img": make_train_step(mods, opt_g, opt_d, is_video=False)}
+    if "vid" in loaders:
+        step_fns["vid"] = make_train_step(mods, opt_g, opt_d, is_video=True)
     logger = MetricLogger()
     key = jax.random.PRNGKey(args.seed)
+    modality_rng = np.random.default_rng(args.seed)
 
     total_steps = args.steps or args.epochs * args.iter_per_epoch
     log_path = os.path.join(args.output_dir, "log.txt")
@@ -210,6 +226,11 @@ def main(args=None):
         state = jax.device_put(state, pmesh.replicated(mesh))
         epoch = 0
         while it < total_steps:
+            if "vid" in loaders and "img" in loaders:
+                modality = "vid" if modality_rng.random() < args.prop_img_vid else "img"
+            else:
+                modality = next(iter(loaders))
+            loader = loaders[modality]
             loader.set_epoch(epoch)
             if scaling_sched is not None:
                 state = state.replace(scaling_w=jnp.float32(scaling_sched(epoch)))
@@ -218,10 +239,10 @@ def main(args=None):
                     break
                 key, k = jax.random.split(key)
                 batch = pmesh.shard_batch(mesh, batch)
-                state, logs = step_fn(state, batch, k)
+                state, logs = step_fns[modality](state, batch, k)
                 logger.update(**{k2: float(v) for k2, v in logs.items()})
                 if it % 10 == 0 and jax.process_index() == 0:
-                    line = logger.line(prefix=f"step {it}/{total_steps}")
+                    line = logger.line(prefix=f"step {it}/{total_steps} [{modality}]")
                     print(line, flush=True)
                     with open(log_path, "a") as f:
                         f.write(json.dumps({"step": it, **logger.averages()}) + "\n")
