@@ -54,19 +54,33 @@ def main():
         rng.uniform(0, 1, (args.frames, args.height, args.width, 3)), jnp.float32))
     msgs = jnp.asarray(rng.integers(0, 2, (1, cfg.nbits)), jnp.int32)
 
-    # warmup/compile
-    out = embed_extract(frames, msgs)
-    jax.block_until_ready(out)
+    # Measurement note: on tunnelled devices block_until_ready can return at
+    # enqueue time, so timing MUST be anchored by a host readback of a value
+    # that data-depends on every iteration. We chain K iterations (each
+    # consumes the previous watermarked output) inside one timed region and
+    # fetch a scalar checksum at the end; the ~30ms fetch RTT is measured
+    # separately and subtracted.
+    @jax.jit
+    def chained(frames, msgs, k):
+        def body(i, carry):
+            fr, acc = carry
+            imgs_w, preds = embed_extract(fr, msgs)
+            # feed output forward (prevents dead-code elimination / overlap-free)
+            return (imgs_w, acc + preds[0, 0] + imgs_w[0, 0, 0, 0])
+        _, acc = jax.lax.fori_loop(0, k, body, (frames, jnp.float32(0.0)))
+        return acc
 
-    times = []
-    for _ in range(args.runs):
-        t0 = time.perf_counter()
-        out = embed_extract(frames, msgs)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
+    _ = float(chained(frames, msgs, 1))  # compile + warm
+    t0 = time.perf_counter()
+    _ = float(chained(frames, msgs, 1))
+    rtt = time.perf_counter() - t0  # 1 iter + fetch round trip
 
-    best = min(times)
-    fps = args.frames / best
+    k = max(args.runs, 4)
+    t0 = time.perf_counter()
+    _ = float(chained(frames, msgs, k))
+    total = time.perf_counter() - t0
+    per_iter = (total - rtt) / (k - 1)  # marginal cost of one embed+extract
+    fps = args.frames / per_iter
     print(json.dumps({
         "metric": f"{args.height}p_frames_per_sec_embed_extract",
         "value": round(fps, 2),

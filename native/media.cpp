@@ -410,4 +410,82 @@ int vsm_encode_file(const char* path, const uint8_t* rgb, int nframes, int h,
   return nframes;
 }
 
+// ---------------------------------------------------------------------------
+// Audio remux: video stream from `video_path`, audio stream(s) copied from
+// `audio_src_path` (parity: utils/display.py save_video_audio_to_mp4 /
+// inference_av.py ffmpeg mux).
+// ---------------------------------------------------------------------------
+
+int vsm_mux_audio(const char* video_path, const char* audio_src_path,
+                  const char* out_path) {
+  AVFormatContext* vin = nullptr;
+  AVFormatContext* ain = nullptr;
+  AVFormatContext* out = nullptr;
+  if (avformat_open_input(&vin, video_path, nullptr, nullptr) < 0 ||
+      avformat_find_stream_info(vin, nullptr) < 0) {
+    set_error("cannot open video input");
+    return -1;
+  }
+  if (avformat_open_input(&ain, audio_src_path, nullptr, nullptr) < 0 ||
+      avformat_find_stream_info(ain, nullptr) < 0) {
+    set_error("cannot open audio source");
+    avformat_close_input(&vin);
+    return -1;
+  }
+  avformat_alloc_output_context2(&out, nullptr, nullptr, out_path);
+  if (!out) { set_error("cannot alloc output"); return -1; }
+
+  int vstream = av_find_best_stream(vin, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  int astream = av_find_best_stream(ain, AVMEDIA_TYPE_AUDIO, -1, -1, nullptr, 0);
+  if (vstream < 0) { set_error("no video stream"); return -1; }
+
+  AVStream* ovs = avformat_new_stream(out, nullptr);
+  avcodec_parameters_copy(ovs->codecpar, vin->streams[vstream]->codecpar);
+  ovs->codecpar->codec_tag = 0;
+  AVStream* oas = nullptr;
+  if (astream >= 0) {
+    oas = avformat_new_stream(out, nullptr);
+    avcodec_parameters_copy(oas->codecpar, ain->streams[astream]->codecpar);
+    oas->codecpar->codec_tag = 0;
+  }
+  if (!(out->oformat->flags & AVFMT_NOFILE))
+    if (avio_open(&out->pb, out_path, AVIO_FLAG_WRITE) < 0) {
+      set_error("cannot open output file");
+      return -1;
+    }
+  if (avformat_write_header(out, nullptr) < 0) {
+    set_error("write header failed");
+    return -1;
+  }
+
+  AVPacket* pkt = av_packet_alloc();
+  while (av_read_frame(vin, pkt) >= 0) {
+    if (pkt->stream_index == vstream) {
+      av_packet_rescale_ts(pkt, vin->streams[vstream]->time_base,
+                           ovs->time_base);
+      pkt->stream_index = ovs->index;
+      av_interleaved_write_frame(out, pkt);
+    }
+    av_packet_unref(pkt);
+  }
+  if (oas) {
+    while (av_read_frame(ain, pkt) >= 0) {
+      if (pkt->stream_index == astream) {
+        av_packet_rescale_ts(pkt, ain->streams[astream]->time_base,
+                             oas->time_base);
+        pkt->stream_index = oas->index;
+        av_interleaved_write_frame(out, pkt);
+      }
+      av_packet_unref(pkt);
+    }
+  }
+  av_write_trailer(out);
+  av_packet_free(&pkt);
+  if (!(out->oformat->flags & AVFMT_NOFILE)) avio_closep(&out->pb);
+  avformat_free_context(out);
+  avformat_close_input(&vin);
+  avformat_close_input(&ain);
+  return 0;
+}
+
 }  // extern "C"

@@ -50,6 +50,7 @@ def _load():
             lib.vsm_encode_file.argtypes = [
                 ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+            lib.vsm_mux_audio.argtypes = [ctypes.c_char_p] * 3
             _lib = lib
         except Exception:
             _lib = None
@@ -147,3 +148,14 @@ def encode_file(path: str, frames: np.ndarray, codec: str = "h264",
                             f, h, w, codec.encode(), int(crf), int(fps))
     if n < 0:
         raise RuntimeError(f"encode failed: {lib.vsm_last_error().decode()}")
+
+
+def mux_audio(video_path: str, audio_src_path: str, out_path: str) -> None:
+    """Copy the audio stream(s) of audio_src_path onto video_path's video
+    (stream copy, no re-encode) — parity: utils/display.py:75-147."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native media runtime unavailable")
+    if lib.vsm_mux_audio(video_path.encode(), audio_src_path.encode(),
+                         out_path.encode()) != 0:
+        raise RuntimeError(f"mux failed: {lib.vsm_last_error().decode()}")

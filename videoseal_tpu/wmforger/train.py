@@ -42,7 +42,12 @@ def make_train_step(extractor, loss_type: str, optimizer,
                     min_perturbation: float = 1e-3,
                     max_perturbation: float = 3e-2,
                     use_grad_sign_only: bool = False,
-                    use_rand_perturbation: bool = False):
+                    use_rand_perturbation: bool = False,
+                    grad_matching: bool = False,
+                    grad_matching_weight: float = 1.0,
+                    strength_contrasting: bool = False,
+                    weak_alpha: float = 0.5, strong_alpha: float = 1.5,
+                    alpha_range: float = 0.5):
     import jax
     import jax.numpy as jnp
     import optax
@@ -73,16 +78,48 @@ def make_train_step(extractor, loss_type: str, optimizer,
             real_logits = score(p, imgs)
             wm_logits = score(p, imgs_w)
             loss = loss_fn(real_logits, wm_logits)
+            logs = {}
+            if grad_matching:
+                # 2nd-order: make d(score)/d(input) align with -watermark
+                # (wmforger/train.py:398-420)
+                gp = jax.grad(lambda pert: jnp.mean(score(p, imgs_w + pert)))(
+                    jnp.zeros_like(imgs_w))
+                watermark = imgs_w - imgs
+                cos = (jnp.vdot(gp, -watermark)
+                       / (jnp.linalg.norm(gp.ravel()) *
+                          jnp.linalg.norm(watermark.ravel()) + 1e-12))
+                loss2 = (1 - cos) * grad_matching_weight
+                loss = loss + loss2
+                logs["loss_2ndorder"] = loss2
             if n_perturbation_steps > 0:
                 perturbed = perturb(jax.lax.stop_gradient(p), imgs_w, key)
                 loss = loss + loss_fn(score(p, imgs), score(p, perturbed))
+            if strength_contrasting:
+                # rank weaker watermark above stronger one (train.py:427-452)
+                k1, k2 = jax.random.split(jax.random.fold_in(key, 7))
+                wm = imgs_w - imgs
+                a1 = weak_alpha + (jax.random.uniform(k1, ()) - 0.5) * alpha_range
+                a2 = strong_alpha + (jax.random.uniform(k2, ()) - 0.5) * alpha_range
+                weak = jnp.clip(imgs + a1 * wm, 0, 1)
+                strong = jnp.clip(imgs + a2 * wm, 0, 1)
+                loss_c = loss_fn(score(p, weak), score(p, strong))
+                loss = loss + loss_c
+                logs["loss_wm_contrasting"] = loss_c
             acc = ((real_logits > 0).mean() + (wm_logits < 0).mean()) / 2
             ranking = ((real_logits - wm_logits) > 0).mean()
-            return loss, {"acc": acc, "ranking": ranking}
+            logs.update({"acc": acc, "ranking": ranking})
+            return loss, logs
 
         (loss, logs), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        # skip non-finite updates (train.py:455-461 guard)
+        gnorm = optax.global_norm(grads)
+        finite = jnp.isfinite(gnorm)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old), new_params, params)
+        opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old), new_opt_state, opt_state)
         logs["loss"] = loss
         return params, opt_state, logs
 
@@ -101,6 +138,9 @@ def main(args=None):
     p.add_argument("--n_perturbation_steps", type=int, default=1)
     p.add_argument("--use_grad_sign_only", type=int, default=0)
     p.add_argument("--use_rand_perturbation", type=int, default=0)
+    p.add_argument("--grad_matching", type=int, default=0)
+    p.add_argument("--grad_matching_weight", type=float, default=1.0)
+    p.add_argument("--watermark_strength_contrasting", type=int, default=0)
     p.add_argument("--image_dataset", default=None)
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--tiny", type=int, default=0)
@@ -132,7 +172,11 @@ def main(args=None):
     step_fn = make_train_step(spec.module, args.loss, optimizer,
                               n_perturbation_steps=args.n_perturbation_steps,
                               use_grad_sign_only=bool(args.use_grad_sign_only),
-                              use_rand_perturbation=bool(args.use_rand_perturbation))
+                              use_rand_perturbation=bool(args.use_rand_perturbation),
+                              grad_matching=bool(args.grad_matching),
+                              grad_matching_weight=args.grad_matching_weight,
+                              strength_contrasting=bool(
+                                  args.watermark_strength_contrasting))
 
     if args.image_dataset and not args.synthetic:
         from ..data.datasets import ImageFolder
