@@ -31,13 +31,23 @@ def inflate_tree(tree: dict, temporal_kernel_size: int = 3) -> dict:
     {spatial: {conv: ...}, temporal: {kernel: identity}}."""
     out = {}
     for k, v in tree.items():
-        if (isinstance(v, dict) and set(v) >= {"conv"} and isinstance(v["conv"], dict)
-                and "kernel" in v["conv"] and np.asarray(v["conv"]["kernel"]).ndim == 4
-                and np.asarray(v["conv"]["kernel"]).shape[0] == 3):  # 3x3 spatial conv
-            ch = np.asarray(v["conv"]["kernel"]).shape[-1]
-            out[k] = {"spatial": v,
-                      "temporal": {"kernel": _identity_temporal_kernel(
-                          ch, temporal_kernel_size)}}
+        is_conv_op = (isinstance(v, dict) and set(v) >= {"conv"}
+                      and isinstance(v["conv"], dict) and "kernel" in v["conv"]
+                      and np.asarray(v["conv"]["kernel"]).ndim == 4)
+        # Conv*Op subtrees inside ResnetBlock/DBlock bodies get the conv2p1d
+        # layout: spatial conv (+ identity temporal conv for k != 1,
+        # Conv2p1dWrapper semantics, common.py:230-258). Plain nn.Conv layers
+        # (downs/*/down, outc, ups/*/up/conv) are left untouched — the 2p1d
+        # UNet keeps those 2D, like the reference's conv_layer plumbing.
+        if is_conv_op and k in ("conv1", "conv2", "res_conv"):
+            ksz = np.asarray(v["conv"]["kernel"]).shape[0]
+            if ksz == 1:
+                out[k] = {"spatial": v}
+            else:
+                ch = np.asarray(v["conv"]["kernel"]).shape[-1]
+                out[k] = {"spatial": v,
+                          "temporal": {"kernel": _identity_temporal_kernel(
+                              ch, temporal_kernel_size)}}
         elif isinstance(v, dict):
             out[k] = inflate_tree(v, temporal_kernel_size)
         else:

@@ -26,6 +26,10 @@ def get_parser():
     # model
     p.add_argument("--card", default="videoseal_1.0",
                    help="model card providing embedder/extractor configs")
+    p.add_argument("--embedder_model", default=None,
+                   help="preset from configs/embedder.yaml (overrides card)")
+    p.add_argument("--extractor_model", default=None,
+                   help="preset from configs/extractor.yaml (overrides card)")
     p.add_argument("--nbits", type=int, default=None)
     p.add_argument("--img_size", type=int, default=256)
     p.add_argument("--scaling_w", type=float, default=0.2)
@@ -147,6 +151,20 @@ def main(args=None):
     cargs = card["args"]
     nbits = args.nbits or int(cargs.get("nbits", 256))
     img_size = int(cargs.get("img_size_proc", args.img_size))
+
+    # preset overrides (parity: --embedder_model/--extractor_model flags,
+    # resolved against configs/{embedder,extractor}.yaml)
+    cfg_dir = os.path.join(os.path.dirname(__file__), "configs")
+    if args.embedder_model:
+        with open(os.path.join(cfg_dir, "embedder.yaml")) as f:
+            presets = yaml.safe_load(f)
+        card["embedder"] = {"model": args.embedder_model,
+                            "params": presets[args.embedder_model]}
+    if args.extractor_model:
+        with open(os.path.join(cfg_dir, "extractor.yaml")) as f:
+            presets = yaml.safe_load(f)
+        card["extractor"] = {"model": args.extractor_model,
+                             "params": presets[args.extractor_model]}
 
     emb = build_embedder(card["embedder"]["model"], card["embedder"]["params"],
                          nbits, float(cargs.get("hidden_size_multiplier", 2)))
