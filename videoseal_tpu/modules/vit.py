@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .common import ChannelLayerNorm
+from .common import ChannelLayerNorm, gelu_exact
 from ..ops.resize import _resize_matrix
 
 
@@ -122,7 +122,7 @@ class MLPBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.mlp_dim, name="lin1")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = gelu_exact(x)
         return nn.Dense(self.dim, name="lin2")(x)
 
 
