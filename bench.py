@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--card", default="videoseal_1.0")
     ap.add_argument("--dtype", default="bfloat16",
                     help="model compute dtype (full-res blend stays f32)")
+    ap.add_argument("--lowres_attenuation", type=int, default=0,
+                    help="JND at proc res (reference wam.py:139 flag; "
+                         "recommended for high-res)")
     args = ap.parse_args()
 
     import jax
@@ -41,11 +44,13 @@ def main():
     evars, xvars = model.embedder_vars, model.extractor_vars
     att = model.attenuation
 
+    lowres = bool(args.lowres_attenuation)
+
     @jax.jit
     def embed_extract(frames, msgs):
         imgs_w, _ = embed_pipeline(emb_mod, att, cfg, evars, frames, msgs,
                                    jnp.float32(0.2), jnp.float32(1.0),
-                                   is_video=True, lowres_attenuation=False)
+                                   is_video=True, lowres_attenuation=lowres)
         preds = detect_pipeline(ext_mod, cfg, xvars, imgs_w)
         return imgs_w, preds
 

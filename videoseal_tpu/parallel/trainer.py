@@ -97,9 +97,12 @@ def _embed_apply(mods: TrainerModules, e_params, e_stats, inp, msgs):
 
 
 def make_train_step(mods: TrainerModules, optimizer_g, optimizer_d,
-                    is_video: bool = False) -> Callable:
+                    is_video: bool = False, mode: str = "both") -> Callable:
     """Build the jitted train step. batch: dict(imgs, masks);
-    imgs: (B,H,W,3) or (V,F,H,W,3); masks: imgs[...,:1]-shaped or None."""
+    imgs: (B,H,W,3) or (V,F,H,W,3); masks: imgs[...,:1]-shaped or None.
+
+    mode: "both" (disc+gen each step, reference default), "gen" or "disc"
+    (sleepwake alternation, train.py:610-614)."""
 
     cfg = mods.cfg
     loss_cfg = mods.loss
@@ -188,13 +191,19 @@ def make_train_step(mods: TrainerModules, optimizer_g, optimizer_d,
 
         gen_params = {"embedder": state.embedder_params,
                       "extractor": state.extractor_params}
-        (gen_total, aux), gen_grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
-            gen_params, state, imgs, masks, msgs, k_fwd)
-        logs, imgs_w, preds, mask_t, new_stats, msgs_frames = aux
-
-        updates, new_opt_g = optimizer_g.update(gen_grads, state.opt_state_g, gen_params)
-        new_gen = jax.tree_util.tree_map(lambda p, u: p + u,
-                                         gen_params, updates)
+        if mode in ("both", "gen"):
+            (gen_total, aux), gen_grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
+                gen_params, state, imgs, masks, msgs, k_fwd)
+            logs, imgs_w, preds, mask_t, new_stats, msgs_frames = aux
+            updates, new_opt_g = optimizer_g.update(gen_grads, state.opt_state_g,
+                                                    gen_params)
+            new_gen = jax.tree_util.tree_map(lambda p, u: p + u, gen_params, updates)
+        else:  # disc-only epoch: forward without gen grads
+            downstream, preds_w, msgs_frames = forward_and_losses(
+                gen_params, state, imgs, masks, msgs, k_fwd)
+            losses, (weights, imgs_w, preds, mask_t, new_stats) = downstream(preds_w)
+            logs = {f"loss_{k}": v for k, v in losses.items()}
+            new_gen, new_opt_g = gen_params, state.opt_state_g
 
         # --- discriminator update (videosealloss.py:192-214) ---
         imgs_flat = imgs.reshape((-1,) + imgs.shape[-3:])
@@ -203,7 +212,7 @@ def make_train_step(mods: TrainerModules, optimizer_g, optimizer_d,
             apply = lambda x: mods.discriminator.apply({"params": d_params}, x)
             return loss_cfg.discriminator_loss(apply, imgs_flat, imgs_w, state.step)
 
-        if loss_cfg.disc_weight > 0:
+        if loss_cfg.disc_weight > 0 and mode in ("both", "disc"):
             (d_total, d_logs), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
                 state.disc_params)
             d_updates, new_opt_d = optimizer_d.update(d_grads, state.opt_state_d,

@@ -47,6 +47,8 @@ def get_parser():
     p.add_argument("--total_gnorm", type=float, default=1.0)
     p.add_argument("--disc_start", type=int, default=0)
     p.add_argument("--disc_num_layers", type=int, default=2)
+    p.add_argument("--sleepwake", type=int, default=0,
+                   help="alternate disc/gen epochs (train.py:610-614)")
     p.add_argument("--temperature", type=float, default=1.0)
     # optimizers
     p.add_argument("--optimizer", default="AdamW,lr=1e-4")
@@ -229,9 +231,16 @@ def main(args=None):
                                     process_count=jax.process_count())
 
     mesh = pmesh.make_mesh()
-    step_fns = {"img": make_train_step(mods, opt_g, opt_d, is_video=False)}
-    if "vid" in loaders:
-        step_fns["vid"] = make_train_step(mods, opt_g, opt_d, is_video=True)
+
+    def build_steps(mode):
+        fns = {"img": make_train_step(mods, opt_g, opt_d, is_video=False, mode=mode)}
+        if "vid" in loaders:
+            fns["vid"] = make_train_step(mods, opt_g, opt_d, is_video=True, mode=mode)
+        return fns
+
+    step_fns_by_mode = {"both": build_steps("both")}
+    if args.sleepwake:
+        step_fns_by_mode = {"gen": build_steps("gen"), "disc": build_steps("disc")}
     logger = MetricLogger()
     key = jax.random.PRNGKey(args.seed)
     modality_rng = np.random.default_rng(args.seed)
@@ -250,6 +259,10 @@ def main(args=None):
                 modality = next(iter(loaders))
             loader = loaders[modality]
             loader.set_epoch(epoch)
+            if args.sleepwake:
+                step_fns = step_fns_by_mode["disc" if epoch % 2 == 1 else "gen"]
+            else:
+                step_fns = step_fns_by_mode["both"]
             if scaling_sched is not None:
                 state = state.replace(scaling_w=jnp.float32(scaling_sched(epoch)))
             for batch in loader:
