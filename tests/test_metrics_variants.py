@@ -1,0 +1,55 @@
+"""Pixelwise bit-accuracy variants + BD-rate (metrics.py:180-289,405-440 parity)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from videoseal_tpu.ops import metrics as M
+
+
+def _setup():
+    rng = np.random.default_rng(0)
+    targets = (rng.uniform(size=(2, 8)) > 0.5).astype(np.float32)
+    # logits agreeing with targets on 75% of pixels
+    logits = np.where(targets[:, None, None, :] > 0.5, 1.0, -1.0)
+    flip = rng.uniform(size=(2, 4, 4, 8)) < 0.25
+    logits = np.where(flip, -logits * np.ones((2, 4, 4, 8)), logits)
+    return jnp.asarray(logits.astype(np.float32)), jnp.asarray(targets), flip
+
+
+class TestVariants:
+    def test_1msg_equals_pixel_agreement(self):
+        logits, targets, flip = _setup()
+        acc = np.asarray(M.bit_accuracy_1msg(logits, targets))
+        expect = 1 - flip.reshape(2, -1).mean(axis=1)
+        np.testing.assert_allclose(acc, expect, atol=1e-6)
+
+    def test_1msg_full_mask_matches_unmasked(self):
+        logits, targets, _ = _setup()
+        mask = jnp.ones((2, 4, 4, 1))
+        np.testing.assert_allclose(
+            np.asarray(M.bit_accuracy_1msg(logits, targets, mask)),
+            np.asarray(M.bit_accuracy_1msg(logits, targets)), atol=1e-6)
+
+    def test_inference_methods_agree_on_full_mask(self):
+        logits, targets, _ = _setup()
+        mask = jnp.ones((2, 4, 4, 1))
+        hard = np.asarray(M.bit_accuracy_inference(logits, targets, mask, "hard"))
+        semi = np.asarray(M.bit_accuracy_inference(logits, targets, mask, "semihard"))
+        soft = np.asarray(M.bit_accuracy_inference(logits, targets, mask, "soft"))
+        # 75% pixel agreement -> every bit decodes correctly under averaging
+        np.testing.assert_allclose(hard, 1.0)
+        np.testing.assert_allclose(semi, 1.0)
+        np.testing.assert_allclose(soft, 1.0)
+
+    def test_majority_vote(self):
+        logits, targets, _ = _setup()
+        acc = np.asarray(M.bit_accuracy_mv(logits, targets))
+        np.testing.assert_allclose(acc, 1.0)
+
+    def test_bd_rate_zero_for_identical_curves(self):
+        r = [1000, 2000, 4000, 8000]
+        p = [30, 33, 36, 39]
+        assert abs(M.bd_rate(r, p, r, p)) < 1e-9
+        # 2x the rate at same quality -> +100%
+        assert abs(M.bd_rate(r, p, [2 * x for x in r], p) - 100.0) < 1.0

@@ -75,6 +75,16 @@ def evaluate(model, samples, is_video: bool = False, validation_augs=None,
                     bits = preds[..., 1:]
                     bit_acc = float(M.bit_accuracy(bits, msgs).mean())
                 extract_time = time.time() - t0
+                loc = {}
+                if preds.ndim == 4:  # pixelwise extractor: localization metrics
+                    det = preds[..., 0:1]
+                    tgt = jnp.ones_like(det)
+                    loc = {
+                        "iou1": float(M.iou(det, tgt, label=1).mean()),
+                        "acc": float(M.accuracy(det, tgt).mean()),
+                        "bit_acc_1msg": float(M.bit_accuracy_1msg(
+                            preds[..., 1:], msgs).mean()),
+                    }
                 pv = float(M.pvalue(np.asarray([bit_acc]), model.nbits)[0])
                 row = dict(base)
                 row.update({
@@ -84,6 +94,7 @@ def evaluate(model, samples, is_video: bool = False, validation_augs=None,
                     "capacity": float(M.capacity(jnp.asarray([bit_acc]),
                                                  model.nbits)[0]),
                     "extract_time": extract_time,
+                    **loc,
                 })
                 rows.append(row)
                 if verbose:

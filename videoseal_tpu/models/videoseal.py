@@ -129,7 +129,6 @@ def embed_pipeline(embedder, attenuation: JND | None, cfg: PipelineConfig,
     h, w = imgs.shape[-3], imgs.shape[-2]
     s = cfg.img_size
     cdtype = jnp.dtype(cfg.compute_dtype)
-    imgs_res = resize_bilinear(imgs, s, s, precision=cfg.resize_precision)
 
     def run_embedder(inp_msgs):
         inp, m = inp_msgs
@@ -137,11 +136,20 @@ def embed_pipeline(embedder, attenuation: JND | None, cfg: PipelineConfig,
         return embedder.apply(variables, x.astype(cdtype), m)
 
     if is_video:
-        keys = imgs_res[::cfg.step_size]
+        # resize only the key frames unless the lowres-attenuation path needs
+        # all of them at proc res (videoseal.py:304-310 resizes the full
+        # chunk; keyframe-only halves the resize work at step_size 4+)
+        if attenuation is not None and lowres_attenuation:
+            imgs_res = resize_bilinear(imgs, s, s, precision=cfg.resize_precision)
+            keys = imgs_res[::cfg.step_size]
+        else:
+            keys = resize_bilinear(imgs[::cfg.step_size], s, s,
+                                   precision=cfg.resize_precision)
         key_msgs = jnp.broadcast_to(msgs[:1], (keys.shape[0], msgs.shape[-1]))
         preds = _chunked_apply(run_embedder, (keys, key_msgs), cfg.chunk_size)
         preds = _expand_video_mode(preds, imgs.shape[0], cfg.step_size, cfg.video_mode)
     else:
+        imgs_res = resize_bilinear(imgs, s, s, precision=cfg.resize_precision)
         preds = _chunked_apply(run_embedder, (imgs_res, msgs), cfg.chunk_size)
 
     preds = preds.astype(jnp.float32)  # fullres watermark math stays f32

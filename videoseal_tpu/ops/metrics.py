@@ -151,6 +151,84 @@ def bit_accuracy(preds: jnp.ndarray, targets: jnp.ndarray,
     return jnp.mean((p == t).astype(jnp.float32), axis=-1)
 
 
+def bit_accuracy_1msg(preds: jnp.ndarray, targets: jnp.ndarray,
+                      masks: jnp.ndarray | None = None,
+                      threshold: float = 0.0) -> jnp.ndarray:
+    """Per-pixel bit accuracy averaged over pixels (metrics.py:180-206).
+
+    preds: (B, H, W, K) pixelwise logits; targets: (B, K).
+    """
+    p = preds > threshold
+    t = (targets > 0.5)[:, None, None, :]
+    correct = (p == t).astype(jnp.float32)  # (B, H, W, K)
+    if masks is not None:
+        m = (masks > 0.5).astype(jnp.float32)
+        num = jnp.sum(correct * m, axis=(1, 2, 3))
+        den = jnp.maximum(jnp.sum(m, axis=(1, 2, 3)) * preds.shape[-1]
+                          / masks.shape[-1], 1e-8)
+        return num / den
+    return correct.mean(axis=(1, 2, 3))
+
+
+def bit_accuracy_inference(preds: jnp.ndarray, targets: jnp.ndarray,
+                           masks: jnp.ndarray, method: str = "hard",
+                           threshold: float = 0.0) -> jnp.ndarray:
+    """Aggregate pixels -> message -> accuracy (metrics.py:208-257).
+
+    hard: binarize per pixel then mask-average; semihard: mask-average raw
+    logits; soft: mask-weighted average of raw logits.
+    """
+    m = masks if method == "soft" else (masks > 0.5).astype(preds.dtype)
+    x = (preds > threshold).astype(preds.dtype) if method == "hard" else preds
+    num = jnp.sum(x * m, axis=(1, 2))
+    den = jnp.maximum(jnp.sum(m, axis=(1, 2)), 1e-8)
+    msg = (num / den) > 0.5
+    t = targets > 0.5
+    return jnp.mean((msg == t).astype(jnp.float32), axis=-1)
+
+
+def bit_accuracy_mv(preds: jnp.ndarray, targets: jnp.ndarray,
+                    masks: jnp.ndarray | None = None,
+                    threshold: float = 0.0) -> jnp.ndarray:
+    """Majority vote over pixels per bit (metrics.py:259-289)."""
+    p = (preds > threshold).astype(jnp.float32)
+    if masks is not None:
+        m = (masks > 0.5).astype(jnp.float32)
+        frac = (jnp.sum(p * m, axis=(1, 2))
+                / jnp.maximum(jnp.sum(m, axis=(1, 2)), 1e-8))
+    else:
+        frac = p.mean(axis=(1, 2))
+    majority = frac > 0.5
+    t = targets > 0.5
+    return jnp.mean((majority == t).astype(jnp.float32), axis=-1)
+
+
+def bd_rate(r1, psnr1, r2, psnr2, piecewise: int = 0) -> float:
+    """Bjontegaard delta rate (metrics.py:405-440)."""
+    from scipy import interpolate
+    lr1, lr2 = np.log(r1), np.log(r2)
+    p1 = np.polyfit(psnr1, lr1, 3)
+    p2 = np.polyfit(psnr2, lr2, 3)
+    min_int = max(min(psnr1), min(psnr2))
+    max_int = min(max(psnr1), max(psnr2))
+    if piecewise == 0:
+        pi1, pi2 = np.polyint(p1), np.polyint(p2)
+        int1 = np.polyval(pi1, max_int) - np.polyval(pi1, min_int)
+        int2 = np.polyval(pi2, max_int) - np.polyval(pi2, min_int)
+    else:
+        samples, interval = np.linspace(min_int, max_int, num=100, retstep=True)
+        psnr1, psnr2 = np.asarray(psnr1), np.asarray(psnr2)
+        v1 = interpolate.pchip_interpolate(np.sort(psnr1),
+                                           lr1[np.argsort(psnr1)], samples)
+        v2 = interpolate.pchip_interpolate(np.sort(psnr2),
+                                           lr2[np.argsort(psnr2)], samples)
+        trapz = getattr(np, "trapezoid", getattr(np, "trapz", None))
+        int1 = trapz(v1, dx=interval)
+        int2 = trapz(v2, dx=interval)
+    avg_exp_diff = (int2 - int1) / (max_int - min_int)
+    return float((np.exp(avg_exp_diff) - 1) * 100)
+
+
 def pvalue(bit_accs: np.ndarray, nbits: int) -> np.ndarray:
     """Binomial test p-value, host-side (metrics.py:104-121)."""
     from scipy import stats
