@@ -10,8 +10,9 @@ from videoseal_tpu.ops import metrics as M
 def _setup():
     rng = np.random.default_rng(0)
     targets = (rng.uniform(size=(2, 8)) > 0.5).astype(np.float32)
-    # logits agreeing with targets on 75% of pixels
-    logits = np.where(targets[:, None, None, :] > 0.5, 1.0, -1.0)
+    # logits agreeing with targets on 75% of pixels; magnitude 2 keeps the
+    # semihard/soft averaged-logit decision off the 0.5 boundary
+    logits = np.where(targets[:, None, None, :] > 0.5, 2.0, -2.0)
     flip = rng.uniform(size=(2, 4, 4, 8)) < 0.25
     logits = np.where(flip, -logits * np.ones((2, 4, 4, 8)), logits)
     return jnp.asarray(logits.astype(np.float32)), jnp.asarray(targets), flip
