@@ -38,14 +38,14 @@ class TestVariants:
         hard = np.asarray(M.bit_accuracy_inference(logits, targets, mask, "hard"))
         semi = np.asarray(M.bit_accuracy_inference(logits, targets, mask, "semihard"))
         soft = np.asarray(M.bit_accuracy_inference(logits, targets, mask, "soft"))
-        # 75% pixel agreement -> averaging decodes every bit for hard/semihard
+        # 75% pixel agreement -> hard (binarize-then-average) decodes all bits
         np.testing.assert_allclose(hard, 1.0)
-        np.testing.assert_allclose(semi, 1.0)
-        # soft thresholds raw averaged logits at 0.5 (reference quirk,
-        # metrics.py:248-253) -> replicate in numpy
+        # semihard/soft threshold raw averaged LOGITS at 0.5 (reference quirk,
+        # metrics.py:237-253) -> replicate in numpy; on a full mask they agree
         ln = np.asarray(logits)
         msg = ln.mean(axis=(1, 2)) > 0.5
         expect = (msg == (np.asarray(targets) > 0.5)).mean(axis=-1)
+        np.testing.assert_allclose(semi, expect, atol=1e-6)
         np.testing.assert_allclose(soft, expect, atol=1e-6)
 
     def test_majority_vote(self):
