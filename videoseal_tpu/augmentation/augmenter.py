@@ -42,10 +42,16 @@ name2aug = {
     "h265_exact": lambda **kw: A.VideoCompressionExact(codec="h265", **kw),
     "vp9_exact": lambda **kw: A.VideoCompressionExact(codec="vp9", **kw),
     "av1_exact": lambda **kw: A.VideoCompressionExact(codec="av1", **kw),
+    # temporal augs (video.py:262-529)
+    "speed_change": A.SpeedChange,
+    "temporal_reorder": A.TemporalReorder,
+    "window_averaging": A.WindowAveraging,
+    "drop_frame": A.DropFrame,
 }
 video_augs = ["video_compression", "h264", "h264rgb", "h265",
               "h264_exact", "h264rgb_exact", "h265_exact", "vp9_exact",
-              "av1_exact"]
+              "av1_exact", "speed_change", "temporal_reorder",
+              "window_averaging", "drop_frame"]
 
 
 class Augmenter:

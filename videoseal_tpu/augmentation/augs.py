@@ -402,6 +402,106 @@ class JPEG(Aug):
         return jpeg_roundtrip(img, jnp.asarray(strength)), mask
 
 
+# ---------------------------------------------------------------------------
+# temporal augs (video.py:262-529; validated but off by default,
+# augmentation/__init__.py:100-104)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SpeedChange(Aug):
+    """Temporal resample to a new speed, same frame count (video.py:262-316
+    static-shape formulation: nearest-frame index remap)."""
+    min_speed: float = 0.5
+    max_speed: float = 2.0
+    name = "speed_change"
+
+    def apply(self, key, img, mask):
+        return self.apply_strength(img, mask,
+                                   _unif(key, self.min_speed, self.max_speed))
+
+    def apply_strength(self, img, mask, strength):
+        f = img.shape[0]
+        idx = jnp.clip((jnp.arange(f) * strength).astype(jnp.int32), 0, f - 1)
+        return jnp.take(img, idx, axis=0), jnp.take(mask, idx, axis=0)
+
+
+@dataclasses.dataclass
+class TemporalReorder(Aug):
+    """Swap adjacent frame pairs within chunks with some probability
+    (video.py:319-408)."""
+    chunk_size: int = 4
+    swap_probability: float = 0.5
+    name = "temporal_reorder"
+
+    def apply(self, key, img, mask):
+        return self._reorder(key, img, mask, self.swap_probability)
+
+    def apply_strength(self, img, mask, strength):
+        if isinstance(strength, tuple):
+            _, p = strength
+        else:
+            p = strength
+        return self._reorder(jax.random.PRNGKey(0), img, mask, p)
+
+    def _reorder(self, key, img, mask, p):
+        f = img.shape[0]
+        half = f // 2
+        swap = jax.random.bernoulli(key, p, (half,))
+        idx = jnp.arange(f)
+        even = idx[: 2 * half : 2]
+        odd = idx[1: 2 * half : 2]
+        new_even = jnp.where(swap, odd, even)
+        new_odd = jnp.where(swap, even, odd)
+        perm = idx.at[: 2 * half : 2].set(new_even).at[1: 2 * half : 2].set(new_odd)
+        return jnp.take(img, perm, axis=0), jnp.take(mask, perm, axis=0)
+
+
+@dataclasses.dataclass
+class WindowAveraging(Aug):
+    """Sliding-window temporal blend (video.py:411-488)."""
+    window_size: int = 3
+    alpha: float = 1.0
+    name = "window_averaging"
+
+    def apply(self, key, img, mask):
+        return self.apply_strength(img, mask, (self.window_size, self.alpha))
+
+    def apply_strength(self, img, mask, strength):
+        ws, alpha = strength if isinstance(strength, tuple) else (int(strength),
+                                                                  self.alpha)
+        ws = int(ws)
+        f = img.shape[0]
+        acc = jnp.zeros_like(img)
+        for d in range(-(ws // 2), ws // 2 + 1):
+            idx = jnp.clip(jnp.arange(f) + d, 0, f - 1)
+            acc = acc + jnp.take(img, idx, axis=0)
+        avg = acc / ws
+        return alpha * avg + (1 - alpha) * img, mask
+
+
+@dataclasses.dataclass
+class DropFrame(Aug):
+    """Replace random frames with their left neighbor (video.py:491-529)."""
+    min_prob: float = 0.2
+    max_prob: float = 0.5
+    name = "drop_frame"
+
+    def apply(self, key, img, mask):
+        k1, k2 = jax.random.split(key)
+        p = _unif(k1, self.min_prob, self.max_prob)
+        return self._drop(k2, img, mask, p)
+
+    def apply_strength(self, img, mask, strength):
+        return self._drop(jax.random.PRNGKey(0), img, mask, strength)
+
+    def _drop(self, key, img, mask, p):
+        f = img.shape[0]
+        drop = jax.random.bernoulli(key, p, (f,))
+        drop = drop.at[0].set(False)  # first frame has no left neighbor
+        idx = jnp.where(drop, jnp.maximum(jnp.arange(f) - 1, 0), jnp.arange(f))
+        return jnp.take(img, idx, axis=0), mask
+
+
 def _crf_to_quality(crf):
     """Rough CRF->JPEG-quality mapping for the on-device codec proxy."""
     return jnp.clip(100.0 - 2.0 * crf, 5.0, 95.0)

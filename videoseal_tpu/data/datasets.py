@@ -105,6 +105,54 @@ class ImageFolder:
         return img, mask
 
 
+class CocoMasksDataset:
+    """COCO detection annotations -> (image, union-or-instance mask)
+    (parity: datasets.py:98-185, pycocotools-free via utils/rle.py)."""
+
+    def __init__(self, img_dir: str, ann_file: str, img_size: int = 256,
+                 max_objects: int | None = None, multi: bool = False,
+                 seed: int = 0):
+        with open(ann_file) as f:
+            coco = json.load(f)
+        self.img_dir = img_dir
+        self.img_size = img_size
+        self.max_objects = max_objects
+        self.multi = multi
+        self.rng = np.random.default_rng(seed)
+        self.images = {im["id"]: im for im in coco["images"]}
+        self.anns_by_img: dict[int, list] = {}
+        for ann in coco.get("annotations", []):
+            self.anns_by_img.setdefault(ann["image_id"], []).append(ann)
+        self.ids = [i for i in self.images if i in self.anns_by_img]
+
+    def __len__(self):
+        return len(self.ids)
+
+    def __getitem__(self, idx):
+        from ..utils.rle import segmentation_to_mask
+        import cv2
+        img_id = self.ids[idx]
+        info = self.images[img_id]
+        img = _imread_rgb(os.path.join(self.img_dir, info["file_name"]))
+        h, w = img.shape[:2]
+        anns = self.anns_by_img[img_id]
+        if self.max_objects and len(anns) > self.max_objects:
+            sel = self.rng.choice(len(anns), self.max_objects, replace=False)
+            anns = [anns[i] for i in sel]
+        mask = np.zeros((h, w), np.uint8)
+        for ann in anns:
+            mask |= segmentation_to_mask(ann["segmentation"], h, w)
+        s = self.img_size
+        img = _center_crop(_resize_shorter(img, s), s)
+        # same resize-shorter + center-crop geometry as the image
+        scale = s / min(h, w)
+        m = cv2.resize(mask.astype(np.float32),
+                       (int(round(w * scale)), int(round(h * scale))),
+                       interpolation=cv2.INTER_NEAREST)
+        m = _center_crop(m[..., None], s)
+        return img, m.astype(np.float32)
+
+
 class VideoClipDataset:
     """cv2-based clip sampler (datasets.py:188-494 redesign).
 
