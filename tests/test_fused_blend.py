@@ -21,6 +21,18 @@ def _ref(imgs, preds, si, sw):
     return jnp.clip(blend("additive", imgs, h * preds, si, sw), 0.0, 1.0)
 
 
+class TestFusedDelta:
+    def test_delta_matches_reference(self):
+        from videoseal_tpu.kernels.fused_blend import fused_jnd_delta
+        rng = np.random.default_rng(2)
+        imgs = jnp.asarray(rng.uniform(0, 1, (2, 64, 48, 3)).astype(np.float32))
+        pred = jnp.asarray(rng.uniform(-1, 1, (2, 64, 48)).astype(np.float32))
+        delta = fused_jnd_delta(imgs, pred, 0.2, interpret=True)
+        out = jnp.clip(imgs + delta[..., None], 0, 1)
+        ref = _ref(imgs, pred[..., None], 1.0, 0.2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 class TestFusedBlend:
     @pytest.mark.parametrize("pred_c", [1, 3])
     def test_matches_reference(self, pred_c):

@@ -168,6 +168,135 @@ def _kernel(si_ref, sw_ref, img_hbm, pred_hbm, out_ref,
     out_ref[0] = jnp.clip(out, 0.0, 1.0).astype(out_dtype)
 
 
+def _delta_kernel(sw_ref, lum_hbm, pred_hbm, out_ref,
+                  lum_vmem, pred_vmem, sem_lum, sem_pred, *, th: int, w: int,
+                  wp: int, n_tiles: int, n_steps: int):
+    """Single-channel variant: inputs are 2D planes (no channel dim at all),
+    output is the watermark DELTA sw*h(lum)*pred; the RGB blend fuses into
+    one XLA elementwise pass outside. Zero layout changes anywhere."""
+    f = pl.program_id(0)
+    i = pl.program_id(1)
+    step = f * n_tiles + i
+    slot = jax.lax.rem(step, 2)
+    nxt = jax.lax.rem(step + 1, 2)
+
+    def dma_lum(s, sl):
+        fs = jax.lax.div(s, n_tiles)
+        ts = jax.lax.rem(s, n_tiles)
+        return pltpu.make_async_copy(
+            lum_hbm.at[fs, pl.ds(ts * th, th + 8)], lum_vmem.at[sl],
+            sem_lum.at[sl])
+
+    def dma_pred(s, sl):
+        fs = jax.lax.div(s, n_tiles)
+        ts = jax.lax.rem(s, n_tiles)
+        return pltpu.make_async_copy(
+            pred_hbm.at[fs, pl.ds(ts * th, th)], pred_vmem.at[sl],
+            sem_pred.at[sl])
+
+    @pl.when(step == 0)
+    def _():
+        dma_lum(step, slot).start()
+        dma_pred(step, slot).start()
+
+    @pl.when(step + 1 < n_steps)
+    def _():
+        dma_lum(step + 1, nxt).start()
+        dma_pred(step + 1, nxt).start()
+
+    dma_lum(step, slot).wait()
+    dma_pred(step, slot).wait()
+
+    lum = lum_vmem[slot]                  # (th+8, wp), [0,255]
+
+    def vsum(src, n, top):
+        acc = jax.lax.slice(src, (top, 0), (top + th, wp))
+        for d in range(1, n):
+            acc = acc + jax.lax.slice(src, (top + d, 0), (top + d + th, wp))
+        return acc
+
+    def hsum(src, n, left):
+        acc = jax.lax.slice(src, (0, left), (th, left + w))
+        for d in range(1, n):
+            acc = acc + jax.lax.slice(src, (0, left + d), (th, left + d + w))
+        return acc
+
+    col5 = vsum(lum, 5, 2)
+    col3 = vsum(lum, 3, 3)
+    center = jax.lax.slice(lum, (4, 2), (4 + th, 2 + w))
+    la = (hsum(col5, 5, 0) + hsum(col3, 3, 1) - 2.0 * center) * (1.0 / 32.0)
+    lo = 17.0 * (1.0 - jnp.sqrt(la * (1.0 / 127.0) + 1e-5))
+    hi = (3.0 / 128.0) * (la - 127.0) + 3.0
+    la = jnp.where(la <= 127.0, lo, hi)
+
+    t = (jax.lax.slice(lum, (3, 0), (3 + th, wp))
+         + 2.0 * jax.lax.slice(lum, (4, 0), (4 + th, wp))
+         + jax.lax.slice(lum, (5, 0), (5 + th, wp)))
+    gx = (jax.lax.slice(t, (0, 3), (th, 3 + w))
+          - jax.lax.slice(t, (0, 1), (th, 1 + w)))
+    s_diff = (jax.lax.slice(lum, (3, 0), (3 + th, wp))
+              - jax.lax.slice(lum, (5, 0), (5 + th, wp)))
+    gy = (jax.lax.slice(s_diff, (0, 1), (th, 1 + w))
+          + 2.0 * jax.lax.slice(s_diff, (0, 2), (th, 2 + w))
+          + jax.lax.slice(s_diff, (0, 3), (th, 3 + w)))
+    cm2 = gx * gx + gy * gy
+    cm = jnp.sqrt(cm2)
+    cm = 16.0 * jnp.exp(jnp.log(jnp.maximum(cm, 1e-20)) * 2.4) / (cm2 + 676.0)
+    cm = jnp.where(cm2 > 0.0, cm, 0.0)
+    cm = 0.117 * cm
+
+    h = jnp.maximum(la + cm - 0.3 * jnp.minimum(la, cm), 0.0) * (1.0 / 255.0)
+    out_ref[0] = (sw_ref[0] * h) * pred_vmem[slot].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_jnd_delta(imgs: jnp.ndarray, pred: jnp.ndarray, scaling_w,
+                    interpret: bool = False) -> jnp.ndarray:
+    """imgs: (F, H, W, 3) [0,1]; pred: (F, H, W) single-channel watermark
+    prediction. Returns delta (F, H, W) = scaling_w * jnd_heatmap(imgs) * pred.
+
+    Caller completes the blend with one fused XLA pass:
+    imgs_w = clip(si*imgs + delta[..., None], 0, 1). This variant needs NO
+    layout transposes: luminance is one fused XLA pass over NHWC, and the
+    kernel works on 2D (H, W) planes.
+    """
+    f, h, w, _ = imgs.shape
+    th = _pick_tile(h, w)
+    assert th is not None, f"no row tile divides H={h}"
+
+    lum = (imgs[..., 0] * (0.299 * 255.0) + imgs[..., 1] * (0.587 * 255.0)
+           + imgs[..., 2] * (0.114 * 255.0)).astype(jnp.float32)  # (F, H, W)
+    wq = -(-w // 128) * 128
+    wp = wq + 128
+    lum = jnp.pad(lum, ((0, 0), (4, 4), (2, wp - w - 2)))
+    pred_p = jnp.pad(pred.astype(jnp.float32), ((0, 0), (0, 0), (0, wq - w)))
+
+    n_tiles = h // th
+    kern = functools.partial(_delta_kernel, th=th, w=wq, wp=wp,
+                             n_tiles=n_tiles, n_steps=f * n_tiles)
+    sw = jnp.reshape(jnp.asarray(scaling_w, jnp.float32), (1,))
+    out = pl.pallas_call(
+        kern,
+        grid=(f, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, th, wq), lambda fi, i: (fi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((f, h, wq), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 8, wp), jnp.float32),
+            pltpu.VMEM((2, th, wq), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(sw, lum, pred_p)
+    return out[..., :w]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_jnd_blend(imgs: jnp.ndarray, preds: jnp.ndarray,
                     scaling_i, scaling_w, interpret: bool = False) -> jnp.ndarray:

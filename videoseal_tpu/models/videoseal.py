@@ -158,10 +158,17 @@ def embed_pipeline(embedder, attenuation: JND | None, cfg: PipelineConfig,
     preds_full = resize_bilinear(preds, h, w, precision=cfg.resize_precision)
     if attenuation is not None and not lowres_attenuation:
         if cfg.fused_blend and cfg.clamp:
-            from ..kernels.fused_blend import fused_jnd_blend, supports_fused_blend
+            from ..kernels.fused_blend import (fused_jnd_blend, fused_jnd_delta,
+                                               supports_fused_blend)
             if supports_fused_blend(h, w, preds_full.shape[-1], attenuation,
                                     cfg.blending_method):
-                imgs_w = fused_jnd_blend(imgs, preds_full, scaling_i, scaling_w)
+                if preds_full.shape[-1] == 1:
+                    # transpose-free fast path: kernel emits the delta plane,
+                    # the RGB blend fuses into one XLA elementwise pass
+                    delta = fused_jnd_delta(imgs, preds_full[..., 0], scaling_w)
+                    imgs_w = jnp.clip(scaling_i * imgs + delta[..., None], 0.0, 1.0)
+                else:
+                    imgs_w = fused_jnd_blend(imgs, preds_full, scaling_i, scaling_w)
                 return imgs_w, preds_full
         preds_full = attenuation.heatmaps(imgs) * preds_full
     imgs_w = blend(cfg.blending_method, imgs, preds_full, scaling_i, scaling_w)
