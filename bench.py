@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--lowres_attenuation", type=int, default=0,
                     help="JND at proc res (reference wam.py:139 flag; "
                          "recommended for high-res)")
+    ap.add_argument("--frame_dtype", default="uint8", choices=["uint8", "float32"],
+                    help="video buffer dtype (rgb24 = production serving)")
     args = ap.parse_args()
 
     import jax
@@ -55,8 +57,14 @@ def main():
         return imgs_w, preds
 
     rng = np.random.default_rng(0)
-    frames = jax.device_put(jnp.asarray(
-        rng.uniform(0, 1, (args.frames, args.height, args.width, 3)), jnp.float32))
+    if args.frame_dtype == "uint8":
+        # production video is rgb24 — the same bytes the reference's ffmpeg
+        # rawvideo pipe carries (inference_streaming.py:52-75)
+        frames = jax.device_put(jnp.asarray(rng.integers(
+            0, 256, (args.frames, args.height, args.width, 3)), jnp.uint8))
+    else:
+        frames = jax.device_put(jnp.asarray(rng.uniform(
+            0, 1, (args.frames, args.height, args.width, 3)), jnp.float32))
     msgs = jnp.asarray(rng.integers(0, 2, (1, cfg.nbits)), jnp.int32)
 
     # Measurement note: on tunnelled devices block_until_ready can return at
@@ -71,7 +79,8 @@ def main():
             fr, acc = carry
             imgs_w, preds = embed_extract(fr, msgs)
             # feed output forward (prevents dead-code elimination / overlap-free)
-            return (imgs_w, acc + preds[0, 0] + imgs_w[0, 0, 0, 0])
+            return (imgs_w, acc + preds[0, 0]
+                    + imgs_w[0, 0, 0, 0].astype(jnp.float32))
         _, acc = jax.lax.fori_loop(0, k, body, (frames, jnp.float32(0.0)))
         return acc
 

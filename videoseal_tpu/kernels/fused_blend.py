@@ -264,8 +264,11 @@ def fused_jnd_delta(imgs: jnp.ndarray, pred: jnp.ndarray, scaling_w,
     th = _pick_tile(h, w)
     assert th is not None, f"no row tile divides H={h}"
 
-    lum = (imgs[..., 0] * (0.299 * 255.0) + imgs[..., 1] * (0.587 * 255.0)
-           + imgs[..., 2] * (0.114 * 255.0)).astype(jnp.float32)  # (F, H, W)
+    # [0,1] floats scale to the JND's 0..255 domain; uint8 already is there
+    sc = 255.0 if jnp.issubdtype(imgs.dtype, jnp.floating) else 1.0
+    x = imgs.astype(jnp.float32)
+    lum = (x[..., 0] * (0.299 * sc) + x[..., 1] * (0.587 * sc)
+           + x[..., 2] * (0.114 * sc))  # (F, H, W) in 0..255
     wq = -(-w // 128) * 128
     wp = wq + 128
     lum = jnp.pad(lum, ((0, 0), (4, 4), (2, wp - w - 2)))

@@ -129,9 +129,17 @@ def embed_pipeline(embedder, attenuation: JND | None, cfg: PipelineConfig,
     h, w = imgs.shape[-3], imgs.shape[-2]
     s = cfg.img_size
     cdtype = jnp.dtype(cfg.compute_dtype)
+    # uint8 frames are first-class (production video is rgb24, exactly what
+    # the reference's streaming pipe carries — inference_streaming.py:52-75):
+    # full-res reads/writes stay 1 byte/channel; float conversion happens
+    # after downscale or fused into the elementwise blend.
+    is_u8 = not jnp.issubdtype(imgs.dtype, jnp.floating)
+    u8_scale = 255.0 if is_u8 else 1.0
 
     def run_embedder(inp_msgs):
         inp, m = inp_msgs
+        if is_u8:
+            inp = inp * (1.0 / 255.0)
         x = rgb_to_y(inp) if cfg.yuv else inp
         return embedder.apply(variables, x.astype(cdtype), m)
 
@@ -154,7 +162,10 @@ def embed_pipeline(embedder, attenuation: JND | None, cfg: PipelineConfig,
 
     preds = preds.astype(jnp.float32)  # fullres watermark math stays f32
     if attenuation is not None and lowres_attenuation:
-        preds = attenuation.heatmaps(imgs_res.astype(jnp.float32)) * preds
+        lr = imgs_res.astype(jnp.float32)
+        if is_u8:
+            lr = lr * (1.0 / 255.0)
+        preds = attenuation.heatmaps(lr) * preds
     preds_full = resize_bilinear(preds, h, w, precision=cfg.resize_precision)
     if attenuation is not None and not lowres_attenuation:
         if cfg.fused_blend and cfg.clamp:
@@ -166,11 +177,31 @@ def embed_pipeline(embedder, attenuation: JND | None, cfg: PipelineConfig,
                     # transpose-free fast path: kernel emits the delta plane,
                     # the RGB blend fuses into one XLA elementwise pass
                     delta = fused_jnd_delta(imgs, preds_full[..., 0], scaling_w)
-                    imgs_w = jnp.clip(scaling_i * imgs + delta[..., None], 0.0, 1.0)
-                else:
+                    if is_u8:
+                        out = (scaling_i * imgs.astype(jnp.float32)
+                               + 255.0 * delta[..., None])
+                        imgs_w = jnp.clip(jnp.round(out), 0.0, 255.0
+                                          ).astype(jnp.uint8)
+                    else:
+                        imgs_w = jnp.clip(scaling_i * imgs + delta[..., None],
+                                          0.0, 1.0)
+                    return imgs_w, preds_full
+                if not is_u8:
                     imgs_w = fused_jnd_blend(imgs, preds_full, scaling_i, scaling_w)
-                return imgs_w, preds_full
-        preds_full = attenuation.heatmaps(imgs) * preds_full
+                    return imgs_w, preds_full
+        hm_in = imgs.astype(jnp.float32) * (1.0 / 255.0) if is_u8 else imgs
+        preds_full = attenuation.heatmaps(hm_in) * preds_full
+    if is_u8:
+        if cfg.blending_method == "additive":
+            out = (scaling_i * imgs.astype(jnp.float32)
+                   + 255.0 * scaling_w * preds_full)
+        else:
+            out = 255.0 * blend(cfg.blending_method,
+                                imgs.astype(jnp.float32) * (1.0 / 255.0),
+                                preds_full, scaling_i, scaling_w)
+        imgs_w = (jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+                  if cfg.clamp else out)
+        return imgs_w, preds_full
     imgs_w = blend(cfg.blending_method, imgs, preds_full, scaling_i, scaling_w)
     if cfg.clamp:
         imgs_w = jnp.clip(imgs_w, 0.0, 1.0)
@@ -182,6 +213,8 @@ def detect_pipeline(extractor, cfg: PipelineConfig, variables, imgs):
     s = cfg.img_size
     cdtype = jnp.dtype(cfg.compute_dtype)
     imgs_res = resize_bilinear(imgs, s, s, precision=cfg.resize_precision)
+    if not jnp.issubdtype(imgs.dtype, jnp.floating):  # uint8 video buffers
+        imgs_res = imgs_res * (1.0 / 255.0)
 
     def run(x):
         return extractor.apply(variables, x.astype(cdtype)).astype(jnp.float32)

@@ -53,7 +53,7 @@ def _resize_matrix(in_size: int, out_size: int, antialias: bool = True) -> np.nd
 
 
 def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int, antialias: bool = True,
-                    precision: str = "highest") -> jnp.ndarray:
+                    precision: str = "highest", out_dtype=None) -> jnp.ndarray:
     """Resize (..., H, W, C) to (..., out_h, out_w, C).
 
     Matches ``F.interpolate(x, (out_h, out_w), mode="bilinear",
@@ -61,11 +61,15 @@ def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int, antialias: bool = Tr
     ``precision="highest"`` keeps the MXU passes in float32 (the resample
     matrices are sparse triangles; rounding them through bf16 costs ~1 LSB at
     8-bit scale); pass "default" to trade that for single-pass bf16 speed.
+    Integer inputs (uint8 video buffers) compute in f32 and return f32
+    unless ``out_dtype`` says otherwise.
     """
     h, w = x.shape[-3], x.shape[-2]
+    dt = out_dtype
+    if dt is None:
+        dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
     if (h, w) == (out_h, out_w):
-        return x
-    dt = x.dtype
+        return x.astype(dt)
     mh = jnp.asarray(_resize_matrix(h, out_h, antialias), dtype=jnp.float32)
     mw = jnp.asarray(_resize_matrix(w, out_w, antialias), dtype=jnp.float32)
     y = x.astype(jnp.float32)
