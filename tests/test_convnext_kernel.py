@@ -1,0 +1,68 @@
+"""Fused ConvNeXt block kernel vs the linen module (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from videoseal_tpu.modules.convnext import ConvNeXtBlock
+from videoseal_tpu.kernels.convnext_block import convnext_block_fused, supports_block
+
+
+class TestConvNeXtKernel:
+    @pytest.mark.parametrize("c,hw", [(96, 16), (32, 24)])
+    def test_matches_module(self, c, hw):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, hw, hw, c)).astype(np.float32))
+        blk = ConvNeXtBlock(c)
+        v = blk.init(jax.random.PRNGKey(0), x)
+        # randomize GRN (zero-init would hide bugs)
+        p = jax.tree_util.tree_map(lambda a: a, v["params"])
+        p["grn"]["gamma"] = jnp.asarray(rng.normal(size=(4 * c,)).astype(np.float32)) * 0.1
+        p["grn"]["beta"] = jnp.asarray(rng.normal(size=(4 * c,)).astype(np.float32)) * 0.1
+        ref = blk.apply({"params": p}, x)
+        out = convnext_block_fused(x, p, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-2, rtol=5e-2)  # bf16 matmuls inside
+
+    def test_bf16_input(self):
+        rng = np.random.default_rng(1)
+        x32 = jnp.asarray(rng.normal(size=(1, 16, 16, 32)).astype(np.float32))
+        blk = ConvNeXtBlock(32)
+        v = blk.init(jax.random.PRNGKey(0), x32)
+        x16 = x32.astype(jnp.bfloat16)
+        p16 = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), v["params"])
+        out = convnext_block_fused(x16, p16, interpret=True)
+        assert out.dtype == jnp.bfloat16
+        ref = blk.apply({"params": v["params"]}, x32)
+        diff = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
+        assert diff.max() < 0.25  # bf16 end-to-end tolerance
+
+    def test_supports(self):
+        assert supports_block(64, 64, 96)
+        assert supports_block(32, 32, 192)
+        assert not supports_block(256, 256, 96)  # too big for VMEM
+
+
+class TestFusedForward:
+    def test_full_extractor_parity(self):
+        """convnext_apply_fused (XLA fallback on CPU sizes) vs the module."""
+        import videoseal_tpu.models  # noqa
+        from videoseal_tpu.models.extractor import build_extractor
+        from videoseal_tpu.kernels.convnext_fused import convnext_apply_fused
+        from videoseal_tpu.modules.pixel_decoder import PixelDecoder
+        rng = np.random.default_rng(0)
+        spec = build_extractor("convnext_tiny", {
+            "encoder": {"depths": [1, 1, 1, 1], "dims": [8, 16, 32, 64]},
+            "pixel_decoder": {"pixelwise": False, "upscale_stages": [1],
+                              "embed_dim": 64, "sigmoid_output": False}}, 64, 8)
+        x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+        v = spec.module.init(jax.random.PRNGKey(0), x)
+        ref = spec.module.apply(v, x)
+        feats = convnext_apply_fused(v["params"]["encoder"], x * 2 - 1,
+                                     depths=(1, 1, 1, 1), dims=(8, 16, 32, 64),
+                                     interpret=True)
+        out = PixelDecoder(**spec.module.pixel_decoder).apply(
+            {"params": v["params"]["pixel_decoder"]}, feats)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)

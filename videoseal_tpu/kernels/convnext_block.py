@@ -1,0 +1,139 @@
+"""Pallas TPU kernel: one fused ConvNeXtV2 block.
+
+The extractor's cost is dominated by stages 0-1 (64^2/32^2 feature maps with
+96/192 channels): XLA materializes ~10 HBM round trips per block (dwconv, LN
+stats, two pointwise matmuls at 4x expansion, GELU, GRN's global reductions).
+This kernel runs ONE FRAME per grid step with the entire block VMEM-resident:
+
+    x --dw7x7--> LN --> pw1 (MXU) --> gelu(f32) --> GRN --> pw2 (MXU) --> +x
+
+HBM traffic collapses to read x + write out. GRN's global (H, W) L2 norm is
+exact because the whole frame is in VMEM (per-sample semantics preserved —
+the usual blocker for tiling ConvNeXtV2 disappears).
+
+Parity: modules/convnext.py ConvNeXtBlock == reference convnext.py:21-57.
+Used when the per-frame plane fits VMEM (supports_block); falls back to the
+XLA path otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def supports_block(h: int, w: int, c: int) -> bool:
+    """VMEM budget: pipelined x tiles + bf16 expanded activations + f32 temps."""
+    bytes_needed = ((h + 6) * (w + 6) * c * 2 * 2      # in block (pipelined x2)
+                    + h * w * 4 * c * (2 + 4)          # expanded bf16 + 1 f32 temp
+                    + h * w * c * 4 * 3                # narrow f32 temps
+                    + c * 4 * c * 2 * 2)               # weights
+    # empirically the (64,64,96) stage-0 shape compiles within Mosaic's
+    # scoped budget even though a naive sum suggests ~16MB; Mosaic's
+    # liveness analysis reuses the expanded buffers
+    return bytes_needed < 17 * 1024 * 1024 and h * w >= 64
+
+
+def _erf(z):
+    """Abramowitz-Stegun 7.1.26 rational erf (max err 1.5e-7 — below bf16
+    resolution); Mosaic has no erf/erfc primitive."""
+    s = jnp.sign(z)
+    a = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+           + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _kernel(x_ref, dw_ref, dwb_ref, lnw_ref, lnb_ref, w1_ref, b1_ref,
+            gg_ref, gb_ref, w2_ref, b2_ref, out_ref, *, h: int, w: int, c: int):
+    xpad = x_ref[0]                                   # (h+6, w+6, c) bf16
+    # depthwise 7x7, f32 accumulation (convnext.py:30)
+    acc = jnp.zeros((h, w, c), jnp.float32)
+    dw = dw_ref[:]                                    # (7, 7, c)
+    for dy in range(7):
+        for dx in range(7):
+            tap = jax.lax.slice(xpad, (dy, dx, 0), (dy + h, dx + w, c))
+            acc = acc + tap.astype(jnp.float32) * dw[dy, dx].astype(jnp.float32)
+    acc = acc + dwb_ref[:].astype(jnp.float32)
+
+    # LayerNorm over channels (eps 1e-6, common.py:131-155)
+    mu = jnp.mean(acc, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(acc - mu), axis=-1, keepdims=True)
+    xn = (acc - mu) * jax.lax.rsqrt(var + 1e-6)
+    xn = xn * lnw_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
+
+    # pw1 (MXU) + exact-erf GELU in f32; expanded activations live in bf16
+    # to halve VMEM pressure (GRN normalizes, so the rounding washes out)
+    flat = xn.reshape(h * w, c).astype(jnp.bfloat16)
+    hmid = jnp.dot(flat, w1_ref[:], preferred_element_type=jnp.float32)
+    hmid = _gelu_exact(hmid + b1_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+
+    # GRN (common.py:158-169): per-channel L2 over the whole frame (f32 stats)
+    hf = hmid.astype(jnp.float32)
+    gx = jnp.sqrt(jnp.sum(hf * hf, axis=0, keepdims=True))      # (1, 4c)
+    nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+    hmid = ((gg_ref[:].astype(jnp.float32) * nx) * hf
+            + gb_ref[:].astype(jnp.float32) + hf).astype(jnp.bfloat16)
+
+    # pw2 (MXU) + residual
+    out = jnp.dot(hmid, w2_ref[:], preferred_element_type=jnp.float32)
+    out = out + b2_ref[:].astype(jnp.float32)
+    res = jax.lax.slice(xpad, (3, 3, 0), (3 + h, 3 + w, c))
+    out_ref[0] = (out.reshape(h, w, c) + res.astype(jnp.float32)
+                  ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def convnext_block_fused(x: jnp.ndarray, params: dict,
+                         interpret: bool = False) -> jnp.ndarray:
+    """x: (B, H, W, C); params: the ConvNeXtBlock param subtree
+    (dwconv/norm/pwconv1/grn/pwconv2). Returns the block output."""
+    b, h, w, c = x.shape
+    xpad = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+
+    dw = params["dwconv"]["kernel"].reshape(7, 7, c)  # HWIO (7,7,1,C)
+    dwb = params["dwconv"]["bias"]
+    lnw = params["norm"]["weight"]
+    lnb = params["norm"]["bias"]
+    w1 = params["pwconv1"]["kernel"].astype(jnp.bfloat16)
+    b1 = params["pwconv1"]["bias"]
+    gg = params["grn"]["gamma"]
+    gb = params["grn"]["beta"]
+    w2 = params["pwconv2"]["kernel"].astype(jnp.bfloat16)
+    b2 = params["pwconv2"]["bias"]
+
+    rep = lambda *_: (0,) * 1  # replicated weight blocks
+
+    kern = functools.partial(_kernel, h=h, w=w, c=c)
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h + 6, w + 6, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((7, 7, c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 4 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        interpret=interpret,
+    )(xpad, dw, dwb, lnw, lnb, w1, b1, gg, gb, w2, b2)

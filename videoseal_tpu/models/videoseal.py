@@ -63,7 +63,8 @@ class PipelineConfig:
     nbits: int = 256
     compute_dtype: str = "float32"
     resize_precision: str = "highest"
-    fused_blend: bool = False  # Pallas JND+blend kernel (TPU serving mode)
+    fused_blend: bool = False      # Pallas JND+blend kernel (TPU serving mode)
+    fused_extractor: bool = False  # Pallas ConvNeXt block kernels (TPU serving)
 
 
 # ---------------------------------------------------------------------------
@@ -216,8 +217,23 @@ def detect_pipeline(extractor, cfg: PipelineConfig, variables, imgs):
     if not jnp.issubdtype(imgs.dtype, jnp.floating):  # uint8 video buffers
         imgs_res = imgs_res * (1.0 / 255.0)
 
+    from .extractor import ConvnextExtractor
+
     def run(x):
-        return extractor.apply(variables, x.astype(cdtype)).astype(jnp.float32)
+        x = x.astype(cdtype)
+        if cfg.fused_extractor and isinstance(extractor, ConvnextExtractor):
+            from ..kernels.convnext_fused import convnext_apply_fused
+            from ..modules.pixel_decoder import PixelDecoder
+            enc = extractor.encoder
+            feats = convnext_apply_fused(
+                variables["params"]["encoder"], x * 2 - 1,
+                depths=tuple(enc.get("depths", (3, 3, 9, 3))),
+                dims=tuple(enc.get("dims", (96, 192, 384, 768))),
+                stem_stride=enc.get("stem_stride", 4))
+            preds = PixelDecoder(**extractor.pixel_decoder).apply(
+                {"params": variables["params"]["pixel_decoder"]}, feats)
+            return preds.astype(jnp.float32)
+        return extractor.apply(variables, x).astype(jnp.float32)
 
     return _chunked_apply(run, imgs_res, cfg.chunk_size)
 
@@ -325,9 +341,13 @@ class VideoSeal:
                 jnp.asarray(a).dtype, jnp.floating) else jnp.asarray(a), t)
         if fused_blend is None:
             fused_blend = jax.default_backend() not in ("cpu",)
+        from .extractor import ConvnextExtractor
+        fused_ext = (fused_blend
+                     and isinstance(self.extractor_spec.module, ConvnextExtractor))
         cfg = dataclasses.replace(self.cfg, compute_dtype=dtype,
                                   resize_precision=resize_precision,
-                                  fused_blend=fused_blend)
+                                  fused_blend=fused_blend,
+                                  fused_extractor=fused_ext)
         return VideoSeal(self.embedder_spec, self.extractor_spec,
                          cast(self.embedder_vars), cast(self.extractor_vars),
                          self.attenuation, cfg, scaling_w=self.scaling_w,
