@@ -112,7 +112,6 @@ def convnext_block_fused(x: jnp.ndarray, params: dict,
     w2 = params["pwconv2"]["kernel"].astype(jnp.bfloat16)
     b2 = params["pwconv2"]["bias"]
 
-    rep = lambda *_: (0,) * 1  # replicated weight blocks
 
     kern = functools.partial(_kernel, h=h, w=w, c=c)
     return pl.pallas_call(
