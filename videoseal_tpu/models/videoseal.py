@@ -65,6 +65,7 @@ class PipelineConfig:
     resize_precision: str = "highest"
     fused_blend: bool = False      # Pallas JND+blend kernel (TPU serving mode)
     fused_extractor: bool = False  # Pallas ConvNeXt block kernels (TPU serving)
+    fused_embedder: bool = False   # BN-folded raw-param UNet forward (serving)
 
 
 # ---------------------------------------------------------------------------
@@ -142,7 +143,21 @@ def embed_pipeline(embedder, attenuation: JND | None, cfg: PipelineConfig,
         if is_u8:
             inp = inp * (1.0 / 255.0)
         x = rgb_to_y(inp) if cfg.yuv else inp
-        return embedder.apply(variables, x.astype(cdtype), m)
+        x = x.astype(cdtype)
+        if cfg.fused_embedder:
+            from .embedder import UnetEmbedder
+            if isinstance(embedder, UnetEmbedder):
+                from ..kernels.unet_fused import unet_apply_fused
+                u = embedder.unet
+                return unet_apply_fused(
+                    variables["params"], variables.get("batch_stats", {}), x, m,
+                    nbits=embedder.nbits, hidden_size=embedder.hidden_size,
+                    z_channels_mults=tuple(u["z_channels_mults"]),
+                    activation=u.get("activation", "relu"),
+                    normalization=u.get("normalization", "batch"),
+                    num_blocks=u.get("num_blocks", 8),
+                    last_tanh=u.get("last_tanh", True))
+        return embedder.apply(variables, x, m)
 
     if is_video:
         # resize only the key frames unless the lowres-attenuation path needs
@@ -342,12 +357,17 @@ class VideoSeal:
         if fused_blend is None:
             fused_blend = jax.default_backend() not in ("cpu",)
         from .extractor import ConvnextExtractor
+        from .embedder import UnetEmbedder
+        from ..kernels.unet_fused import supports_unet_fused
         fused_ext = (fused_blend
                      and isinstance(self.extractor_spec.module, ConvnextExtractor))
+        fused_emb = (isinstance(self.embedder_spec.module, UnetEmbedder)
+                     and supports_unet_fused(self.embedder_spec.module.unet))
         cfg = dataclasses.replace(self.cfg, compute_dtype=dtype,
                                   resize_precision=resize_precision,
                                   fused_blend=fused_blend,
-                                  fused_extractor=fused_ext)
+                                  fused_extractor=fused_ext,
+                                  fused_embedder=fused_emb)
         return VideoSeal(self.embedder_spec, self.extractor_spec,
                          cast(self.embedder_vars), cast(self.extractor_vars),
                          self.attenuation, cfg, scaling_w=self.scaling_w,
