@@ -485,7 +485,7 @@ int vsm_mux_audio(const char* video_path, const char* audio_src_path,
   avformat_free_context(out);
   avformat_close_input(&vin);
   avformat_close_input(&ain);
-  return 0;
+  return oas ? 1 : 0;  // 1 = audio stream copied, 0 = source had none
 }
 
 }  // extern "C"

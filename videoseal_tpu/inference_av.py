@@ -49,11 +49,11 @@ def embed_av(model, input_path: str, output_path: str, chunk_size: int = 32,
         if audio_processor is not None:
             audio_src = audio_processor(input_path)
         try:
-            native.mux_audio(tmp_video, audio_src, output_path)
+            had_audio = native.mux_audio(tmp_video, audio_src, output_path)
         except RuntimeError:
-            os.replace(tmp_video, output_path)  # source had no audio
+            os.replace(tmp_video, output_path)  # mux failed: keep video-only
             return {"msgs": msgs, "frames": n, "audio": False}
-        return {"msgs": msgs, "frames": n, "audio": True}
+        return {"msgs": msgs, "frames": n, "audio": bool(had_audio)}
     finally:
         if os.path.exists(tmp_video):
             os.remove(tmp_video)

@@ -150,12 +150,15 @@ def encode_file(path: str, frames: np.ndarray, codec: str = "h264",
         raise RuntimeError(f"encode failed: {lib.vsm_last_error().decode()}")
 
 
-def mux_audio(video_path: str, audio_src_path: str, out_path: str) -> None:
+def mux_audio(video_path: str, audio_src_path: str, out_path: str) -> bool:
     """Copy the audio stream(s) of audio_src_path onto video_path's video
-    (stream copy, no re-encode) — parity: utils/display.py:75-147."""
+    (stream copy, no re-encode) — parity: utils/display.py:75-147.
+    Returns True if an audio stream was copied (False: source had none)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native media runtime unavailable")
-    if lib.vsm_mux_audio(video_path.encode(), audio_src_path.encode(),
-                         out_path.encode()) != 0:
+    r = lib.vsm_mux_audio(video_path.encode(), audio_src_path.encode(),
+                          out_path.encode())
+    if r < 0:
         raise RuntimeError(f"mux failed: {lib.vsm_last_error().decode()}")
+    return bool(r)
