@@ -59,3 +59,36 @@ class TestVariants:
         assert abs(M.bd_rate(r, p, r, p)) < 1e-9
         # 2x the rate at same quality -> +100%
         assert abs(M.bd_rate(r, p, [2 * x for x in r], p) - 100.0) < 1.0
+
+
+class TestVmaf:
+    def test_graceful_unavailable(self, monkeypatch):
+        """No libvmaf ffmpeg in this image: scoring returns None, never raises."""
+        from videoseal_tpu.evals import vmaf
+        vmaf.find_ffmpeg.cache_clear()
+        monkeypatch.setenv("VSM_FFMPEG", "/nonexistent/ffmpeg")
+        monkeypatch.setenv("PATH", "/nonexistent")
+        assert vmaf.find_ffmpeg() is None
+        assert not vmaf.vmaf_available()
+        assert vmaf.vmaf_on_file("a.mp4", "b.mp4") is None
+        vmaf.find_ffmpeg.cache_clear()
+
+    def test_on_tensor_aux(self):
+        """With no scorer available the aux stats still come back (sizes,
+        durations, bitrates) — None score, real aux."""
+        import numpy as np
+        from videoseal_tpu.evals import vmaf
+        from videoseal_tpu import native
+        if not native.available():
+            import pytest
+            pytest.skip("native media runtime unavailable")
+        if vmaf.vmaf_available():
+            import pytest
+            pytest.skip("libvmaf present; covered by scoring path")
+        rng = np.random.default_rng(0)
+        frames = rng.uniform(0, 1, (8, 64, 64, 3)).astype(np.float32)
+        score, aux = vmaf.vmaf_on_tensor(frames, frames * 0.97,
+                                         return_aux=True)
+        assert score is None
+        assert aux["filesize1"] > 0 and aux["filesize2"] > 0
+        assert abs(aux["duration1"] - 8 / 24) < 1e-6

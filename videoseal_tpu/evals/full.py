@@ -56,6 +56,13 @@ def evaluate(model, samples, is_video: bool = False, validation_augs=None,
             if min(imgs.shape[-3:-1]) > 160 else float("nan"),
             "linf": float(M.linf(imgs_w, imgs)),
         }
+        if is_video:
+            # optional: needs an ffmpeg with libvmaf (evals/vmaf.py);
+            # reference records it for video evals (full.py:175-180)
+            from .vmaf import vmaf_available, vmaf_on_tensor
+            if vmaf_available():
+                base["vmaf"] = vmaf_on_tensor(np.asarray(imgs),
+                                              np.asarray(imgs_w))
 
         mask = jnp.ones_like(imgs_w[..., :1])
         for aug, strengths in validation_augs:

@@ -18,9 +18,13 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.resize import resize_bilinear
+from .lane_pack import conv3x3_lane_packed, supports_lane_pack
 
 
-def _conv(x, kernel, bias=None, stride=1, padding=1):
+def _conv(x, kernel, bias=None, stride=1, padding=1, lane_pack=False):
+    if (lane_pack and stride == 1 and padding == 1
+            and supports_lane_pack(x.shape, kernel.shape)):
+        return conv3x3_lane_packed(x, kernel, bias)
     k = kernel.astype(x.dtype)
     dn = jax.lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
     pad = [(padding, padding)] * 2 if isinstance(padding, int) else padding
@@ -48,19 +52,21 @@ def _norm_act(x, p, s, normalization, act):
     return act(x)
 
 
-def _resnet_block(x, p, s, normalization, act):
+def _resnet_block(x, p, s, normalization, act, lane_pack=False):
     """unet.py:17-55 with folded BN."""
     if normalization.startswith("batch"):
         k1, b1 = _fold_bn(p["conv1"]["conv"]["kernel"], p["norm1"]["bn"],
                           s["norm1"]["bn"])
-        h = act(_conv(x, k1, b1))
+        h = act(_conv(x, k1, b1, lane_pack=lane_pack))
         k2, b2 = _fold_bn(p["conv2"]["conv"]["kernel"], p["norm2"]["bn"],
                           s["norm2"]["bn"])
-        h = act(_conv(h, k2, b2))
+        h = act(_conv(h, k2, b2, lane_pack=lane_pack))
     else:
-        h = _norm_act(_conv(x, p["conv1"]["conv"]["kernel"]), p["norm1"],
+        h = _norm_act(_conv(x, p["conv1"]["conv"]["kernel"],
+                            lane_pack=lane_pack), p["norm1"],
                       None, normalization, act)
-        h = _norm_act(_conv(h, p["conv2"]["conv"]["kernel"]), p["norm2"],
+        h = _norm_act(_conv(h, p["conv2"]["conv"]["kernel"],
+                            lane_pack=lane_pack), p["norm2"],
                       None, normalization, act)
     res = _conv(x, p["res_conv"]["conv"]["kernel"],
                 p["res_conv"]["conv"].get("bias"), padding=0)
@@ -75,7 +81,7 @@ def _channel_ln(x, p, eps=1e-6):
             + p["bias"].astype(jnp.float32)).astype(x.dtype)
 
 
-def _upsample(x, p, act):
+def _upsample(x, p, act, lane_pack=False):
     """Upsample 'bilinear' block (common.py:45-52): 2x resize, reflect pad,
     3x3 valid conv, channel LN, act."""
     h, w = x.shape[-3] * 2, x.shape[-2] * 2
@@ -83,7 +89,12 @@ def _upsample(x, p, act):
     x = resize_bilinear(x, h, w, antialias=False, precision=prec)
     x = jnp.pad(x, [(0, 0)] * (x.ndim - 3) + [(1, 1), (1, 1), (0, 0)],
                 mode="reflect")
-    x = _conv(x, p["conv"]["kernel"], p["conv"].get("bias"), padding=0)
+    k = p["conv"]["kernel"]
+    if lane_pack and supports_lane_pack((x.shape[0], h, w, x.shape[-1]),
+                                        k.shape):
+        x = conv3x3_lane_packed(x, k, p["conv"].get("bias"), prepadded=True)
+    else:
+        x = _conv(x, k, p["conv"].get("bias"), padding=0)
     x = _channel_ln(x, p["norm"])
     return act(x)
 
@@ -92,22 +103,31 @@ def unet_apply_fused(params: dict, stats: dict, x: jnp.ndarray,
                      msgs: jnp.ndarray, *, nbits: int, hidden_size: int,
                      z_channels_mults, activation: str = "relu",
                      normalization: str = "batch", num_blocks: int = 8,
-                     last_tanh: bool = True) -> jnp.ndarray:
-    """UNetMsg forward (unet.py:170-197), input [0,1] -> preprocess inside."""
+                     last_tanh: bool = True,
+                     lane_pack: bool = False) -> jnp.ndarray:
+    """UNetMsg forward (unet.py:170-197), input [0,1] -> preprocess inside.
+
+    lane_pack: rewrite small-C_out 3x3 convs as lane-packed 4x4/s2 convs
+    (kernels/lane_pack.py). Exact and parity-tested, but MEASURED NEUTRAL on
+    v5e (0.997x isolated, slight pipeline regression): XLA's conv emitter
+    already packs small-C_out convs efficiently; off by default.
+    """
     from ..modules.common import get_activation
     act = get_activation(activation)
     p = params["unet"]
     s = stats.get("unet", {}) if stats else {}
 
     x = x * 2 - 1  # embedder preprocess (models/embedder.py:23)
-    x = _resnet_block(x, p["inc"], s.get("inc", {}), normalization, act)
+    x = _resnet_block(x, p["inc"], s.get("inc", {}), normalization, act,
+                      lane_pack)
     hiddens = [x]
     n_levels = len(z_channels_mults)
     for i in range(n_levels - 1):
         d = p[f"downs_{i}"]
         ds = s.get(f"downs_{i}", {})
         y = _conv(hiddens[-1], d["down"]["kernel"], d["down"]["bias"], stride=2)
-        y = _resnet_block(y, d["conv"], ds.get("conv", {}), normalization, act)
+        y = _resnet_block(y, d["conv"], ds.get("conv", {}), normalization, act,
+                          lane_pack)
         hiddens.append(y)
 
     # message injection (msg_processor.py:88-119, matmul form)
@@ -122,15 +142,16 @@ def unet_apply_fused(params: dict, stats: dict, x: jnp.ndarray,
     hiddens.append(y)
     for j in range(num_blocks):
         y = _resnet_block(y, p[f"bottleneck_{j}"], s.get(f"bottleneck_{j}", {}),
-                          normalization, act)
+                          normalization, act, lane_pack)
 
     scale = 2 ** -0.5
     for i in range(n_levels - 1):
         y = jnp.concatenate([y, hiddens.pop() * scale], axis=-1)
         u = p[f"ups_{i}"]
         us = s.get(f"ups_{i}", {})
-        y = _upsample(y, u["up"], act)
-        y = _resnet_block(y, u["conv"], us.get("conv", {}), normalization, act)
+        y = _upsample(y, u["up"], act, lane_pack)
+        y = _resnet_block(y, u["conv"], us.get("conv", {}), normalization, act,
+                          lane_pack)
 
     y = _conv(y, p["outc"]["kernel"], p["outc"]["bias"], padding=0)
     return jnp.tanh(y) if last_tanh else y

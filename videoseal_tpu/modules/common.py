@@ -75,7 +75,9 @@ class ChanRMSNorm(nn.Module):
     def __call__(self, x):
         dim = x.shape[-1]
         gamma = self.param("gamma", nn.initializers.ones, (dim,))
-        norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
+        # floor inside the sqrt: finite gradient at x == 0 (see GRN below)
+        norm = jnp.sqrt(jnp.maximum(
+            jnp.sum(jnp.square(x), axis=-1, keepdims=True), 1e-24))
         y = x / jnp.maximum(norm, 1e-12)
         return y * (dim ** 0.5) * gamma
 
@@ -110,7 +112,10 @@ class GRN(nn.Module):
         dim = x.shape[-1]
         gamma = self.param("gamma", nn.initializers.zeros, (dim,))
         beta = self.param("beta", nn.initializers.zeros, (dim,))
-        gx = jnp.sqrt(jnp.sum(jnp.square(x), axis=(-3, -2), keepdims=True))  # L2 over H,W
+        # L2 over H,W; the 1e-12 floor keeps d(sqrt)/dx finite when a whole
+        # channel map is exactly 0 (torch.norm in the reference NaNs there too)
+        gx = jnp.sqrt(jnp.maximum(
+            jnp.sum(jnp.square(x), axis=(-3, -2), keepdims=True), 1e-12))
         nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
         return gamma * (x * nx) + beta + x
 

@@ -61,7 +61,10 @@ class JND:
         """Contrast masking (jnd.py:71-77)."""
         gx = _depthwise(x255, _SOBEL_X)
         gy = _depthwise(x255, _SOBEL_Y)
-        cm = jnp.sqrt(gx * gx + gy * gy)
+        # floored sqrt: flat 3x3 regions (gx = gy = 0) are common in real
+        # frames and d(sqrt)/dx would be NaN there when JND sits inside the
+        # training graph (trainer.py applies it after blending)
+        cm = jnp.sqrt(jnp.maximum(gx * gx + gy * gy, 1e-12))
         cm = 16.0 * cm ** 2.4 / (cm * cm + 26.0 ** 2)
         return beta * cm
 

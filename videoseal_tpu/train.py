@@ -43,7 +43,7 @@ def get_parser():
     p.add_argument("--lambda_i", type=float, default=0.5)
     p.add_argument("--lambda_d", type=float, default=0.1)
     p.add_argument("--perceptual_loss", default="yuv")
-    p.add_argument("--balanced", type=int, default=1)
+    p.add_argument("--balanced", type=int, default=0)  # reference train.py:179
     p.add_argument("--total_gnorm", type=float, default=1.0)
     p.add_argument("--disc_start", type=int, default=0)
     p.add_argument("--disc_num_layers", type=int, default=2)
@@ -78,6 +78,9 @@ def get_parser():
     p.add_argument("--saveckpt_freq", type=int, default=10)
     p.add_argument("--eval_freq", type=int, default=5)
     p.add_argument("--resume", default=None)
+    p.add_argument("--ckpt_format", default="npz", choices=["npz", "orbax"],
+                   help="orbax: sharded multi-host checkpoints (per-host "
+                        "shard writes; resharding resume)")
     p.add_argument("--distributed", type=int, default=0,
                    help="call jax.distributed.initialize() (multi-host)")
     return p
@@ -121,6 +124,18 @@ DEFAULT_AUGS = {
         "h265": {"min_crf": 28, "max_crf": 36},
     },
 }
+
+
+def _save_ckpt(args, state):
+    """npz from host 0, or collective sharded orbax (utils/checkpoint.py)."""
+    import jax
+    from .utils import checkpoint as ckpt_io
+    if args.ckpt_format == "orbax":
+        ckpt_io.save_train_state_orbax(
+            os.path.join(os.path.abspath(args.output_dir), "ckpts"), state)
+    elif jax.process_index() == 0:
+        ckpt_io.save_train_state(
+            os.path.join(args.output_dir, "checkpoint.npz"), state)
 
 
 def main(args=None):
@@ -200,7 +215,10 @@ def main(args=None):
     state = create_train_state(mods, opt_g, opt_d, seed=args.seed,
                                scaling_w=args.scaling_w)
     if args.resume:
-        state = ckpt_io.load_train_state(args.resume, state)
+        if args.ckpt_format == "orbax" or os.path.isdir(args.resume):
+            state, _ = ckpt_io.load_train_state_orbax(args.resume, state)
+        else:
+            state = ckpt_io.load_train_state(args.resume, state)
 
     scaling_sched = (ScalingSchedule(args.scaling_w_schedule, args.scaling_w)
                      if args.scaling_w_schedule else None)
@@ -279,12 +297,10 @@ def main(args=None):
                         f.write(json.dumps({"step": it, **logger.averages()}) + "\n")
                 it += 1
             epoch += 1
-            if jax.process_index() == 0 and epoch % args.saveckpt_freq == 0:
-                ckpt_io.save_train_state(
-                    os.path.join(args.output_dir, "checkpoint.npz"), state)
+            if epoch % args.saveckpt_freq == 0:
+                _save_ckpt(args, state)
+    _save_ckpt(args, state)
     if jax.process_index() == 0:
-        ckpt_io.save_train_state(
-            os.path.join(args.output_dir, "checkpoint.npz"), state)
         print(f"done: {it} steps in {time.time() - t_start:.1f}s; "
               f"final {logger.line()}", flush=True)
     return state, logger

@@ -124,3 +124,43 @@ def load_into(path: str, card: dict, embedder_vars: dict, extractor_vars: dict):
         emb, ext = load_npz(path)
     return (_check_and_cast(emb, embedder_vars, "embedder"),
             _check_and_cast(ext, extractor_vars, "extractor"))
+
+
+# ---------------------------------------------------------------------------
+# Orbax: sharded, async-capable, multi-host checkpoints.
+#
+# The .npz path above is the single-host format (and what `load()` consumes
+# for released weights). For multi-chip training the TrainState lives sharded
+# across a Mesh; orbax writes each shard from its owning host (no host-0
+# gather, no HBM->host blowup) and restores with the target sharding. Parity:
+# the reference saves full torch state_dicts from rank 0 (train.py + dist) —
+# on TPU pods that design would OOM the host; this is the TPU-native
+# equivalent.
+# ---------------------------------------------------------------------------
+
+def save_train_state_orbax(ckpt_dir: str, state, step: int | None = None,
+                           keep: int = 3) -> None:
+    """Write a sharded orbax checkpoint of a parallel.trainer.TrainState.
+
+    Call from ALL processes (collective). ckpt_dir holds one numbered
+    subdirectory per step.
+    """
+    import jax
+    import orbax.checkpoint as ocp
+
+    step = int(step if step is not None else jax.device_get(state.step))
+    opts = ocp.CheckpointManagerOptions(max_to_keep=keep, create=True)
+    with ocp.CheckpointManager(ckpt_dir, options=opts) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(state))
+        mgr.wait_until_finished()
+
+
+def load_train_state_orbax(ckpt_dir: str, template, step: int | None = None):
+    """Restore a TrainState with the TEMPLATE's shardings (resharding on
+    mesh-shape change is automatic). Returns (state, step)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(ckpt_dir) as mgr:
+        step = int(step if step is not None else mgr.latest_step())
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    return restored, step
