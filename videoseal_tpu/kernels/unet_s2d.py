@@ -1,0 +1,291 @@
+"""Space-to-depth UNet serving path: full-MXU-rate small-channel convs.
+
+Why: TPU HBM tiling pads an array's minor dim to 128 lanes, so the UNet's
+top levels (C=16 at 256^2, C=32 at 128^2 — reference videoseal/modules/
+unet.py:17-55 with z_channels=16) move 8x/4x their logical bytes, and XLA's
+conv emitter runs them at ~4.6 TF/s regardless of NHWC/NCHW (measured,
+PERF.md). Keeping those levels in space-to-depth layout
+
+    s2d(s): (B, H, W, C) -> (B, H/s, W/s, s*s*C),  channel (a*s+b)*C + c
+
+makes every tensor's minor dim >= 64 and every conv a dense large-K/large-N
+matmul that the MXU runs at ~175 TF/s. The repack is EXACT: each original
+conv becomes one dense cell-space conv whose kernel embeds the original
+weights at computed (cell-offset, phase) positions, zeros elsewhere. The
+extra FLOPs (4x at s=2) are far cheaper than the padded HBM traffic.
+
+One general packer covers every case. For an original conv with kernel k,
+stride t, symmetric pixel padding p, mapping an s2d(s_in) input to an
+s2d(s_out) output: output pixel o = s_out*I + a reads input pixel
+t*o + dy - p, whose cell offset / phase are divmod(t*a + dy - p, s_in)
+relative to cell t*s_out/s_in * I. Collecting all (a, dy) pairs yields a
+dense cell-space kernel of size (cd_max - cd_min + 1) and cell stride
+t*s_out/s_in (must divide evenly).
+
+Serving-only (with_dtype), raw params with folded BN like unet_fused; the
+linen module (modules/unet.py) remains the training path + parity oracle.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.resize import resize_bilinear
+from .unet_fused import _channel_ln, _fold_bn
+
+
+# ---------------------------------------------------------------------------
+# layout helpers
+# ---------------------------------------------------------------------------
+
+def s2d(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """(B,H,W,C) -> (B,H/s,W/s,s*s*C), channel (a*s+b)*C+c."""
+    if s == 1:
+        return x
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // s, s, w // s, s, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // s, w // s, s * s * c)
+
+
+def d2s(y: jnp.ndarray, s: int) -> jnp.ndarray:
+    if s == 1:
+        return y
+    b, hc, wc, cc = y.shape
+    c = cc // (s * s)
+    y = y.reshape(b, hc, wc, s, s, c).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, hc * s, wc * s, c)
+
+
+def cat_s2d(a: jnp.ndarray, b: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Concat two canonical s2d(s) tensors along REAL channels (phase-major
+    result): [(ph)(Ca)] + [(ph)(Cb)] -> [(ph)(Ca+Cb)]."""
+    if s == 1:
+        return jnp.concatenate([a, b], axis=-1)
+    n, hc, wc, _ = a.shape
+    ar = a.reshape(n, hc, wc, s * s, -1)
+    br = b.reshape(n, hc, wc, s * s, -1)
+    return jnp.concatenate([ar, br], axis=-1).reshape(n, hc, wc, -1)
+
+
+# ---------------------------------------------------------------------------
+# the packer
+# ---------------------------------------------------------------------------
+
+def pack_conv(w: jnp.ndarray, conv_stride: int, s_in: int, s_out: int,
+              pad: int | None = None):
+    """Embed an HWIO kernel into dense cell-space form.
+
+    Returns (W_cells, cell_stride, cd_min) where W_cells has shape
+    (K, K, s_in^2*Ci, s_out^2*Co). Requires conv_stride*s_out % s_in == 0.
+    pad: original symmetric pixel padding (default (k-1)//2); pass 0 for
+    prepadded/VALID inputs.
+    """
+    kh, kw, ci, co = w.shape
+    if pad is None:
+        pad = (kh - 1) // 2
+    assert (conv_stride * s_out) % s_in == 0
+    cell_stride = (conv_stride * s_out) // s_in
+
+    offs = [conv_stride * a + dy - pad for a in range(s_out) for dy in range(kh)]
+    cd_min = min(o // s_in for o in offs)
+    cd_max = max(o // s_in for o in offs)
+    K = cd_max - cd_min + 1
+
+    wc = jnp.zeros((K, K, s_in * s_in * ci, s_out * s_out * co), w.dtype)
+    for a in range(s_out):
+        for b in range(s_out):
+            ob = (a * s_out + b) * co
+            for dy in range(kh):
+                cdy, ay = divmod(conv_stride * a + dy - pad, s_in)
+                for dx in range(kw):
+                    cdx, ax = divmod(conv_stride * b + dx - pad, s_in)
+                    ib = (ay * s_in + ax) * ci
+                    wc = wc.at[cdy - cd_min, cdx - cd_min,
+                               ib:ib + ci, ob:ob + co].add(w[dy, dx])
+    return wc, cell_stride, cd_min
+
+
+def conv_s2d(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray | None, *,
+             conv_stride: int = 1, s_in: int = 1, s_out: int = 1,
+             pad: int | None = None) -> jnp.ndarray:
+    """Apply an original-space conv to an s2d(s_in) tensor, producing the
+    s2d(s_out) result. Exact for zero 'SAME'-style padding (or pad=0 with a
+    prepadded input)."""
+    kh = w.shape[0]
+    wc, cstride, cd_min = pack_conv(w, conv_stride, s_in, s_out, pad)
+    wc = wc.astype(x.dtype)
+
+    def _pads(n_in):
+        h_pix = n_in * s_in
+        if pad == 0:  # prepadded/VALID: caller supplied the halo
+            h_out = (h_pix - kh) // conv_stride + 1
+        else:  # SAME-style symmetric padding
+            h_out = h_pix // conv_stride
+        n_out = h_out // s_out
+        pl = -cd_min
+        pr = cstride * (n_out - 1) + wc.shape[0] - 1 - pl - (n_in - 1)
+        return pl, max(pr, 0)
+
+    pl, pr = _pads(x.shape[1])
+    pl_w, pr_w = _pads(x.shape[2])
+    dn = jax.lax.conv_dimension_numbers(x.shape, wc.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x, wc, (cstride, cstride), [(pl, pr), (pl_w, pr_w)],
+        dimension_numbers=dn)
+    if bias is not None:
+        y = y + jnp.tile(bias, s_out * s_out).astype(x.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# UNet forward in s2d space
+# ---------------------------------------------------------------------------
+
+def _ln_s2d(x, p, s):
+    """ChannelLayerNorm over REAL channels inside an s2d(s) tensor."""
+    if s == 1:
+        return _channel_ln(x, p)
+    n, hc, wc, cc = x.shape
+    y = _channel_ln(x.reshape(n, hc, wc, s * s, cc // (s * s)), p)
+    return y.reshape(n, hc, wc, cc)
+
+
+def _block_s2d(x, p, s_t, normalization, act, s):
+    """ResnetBlock (unet.py:17-55) with folded BN, on s2d(s) input."""
+    if normalization.startswith("batch"):
+        k1, b1 = _fold_bn(p["conv1"]["conv"]["kernel"], p["norm1"]["bn"],
+                          s_t["norm1"]["bn"])
+        h = act(conv_s2d(x, k1, b1, s_in=s, s_out=s))
+        k2, b2 = _fold_bn(p["conv2"]["conv"]["kernel"], p["norm2"]["bn"],
+                          s_t["norm2"]["bn"])
+        h = act(conv_s2d(h, k2, b2, s_in=s, s_out=s))
+    else:  # rms
+        from .unet_fused import _norm_act
+        h = conv_s2d(x, p["conv1"]["conv"]["kernel"], None, s_in=s, s_out=s)
+        if s > 1:
+            n, hc, wc, cc = h.shape
+            h = _norm_act(h.reshape(n, hc, wc, s * s, cc // (s * s)),
+                          p["norm1"], None, normalization, act).reshape(h.shape)
+        else:
+            h = _norm_act(h, p["norm1"], None, normalization, act)
+        h2 = conv_s2d(h, p["conv2"]["conv"]["kernel"], None, s_in=s, s_out=s)
+        if s > 1:
+            n, hc, wc, cc = h2.shape
+            h = _norm_act(h2.reshape(n, hc, wc, s * s, cc // (s * s)),
+                          p["norm2"], None, normalization, act).reshape(h2.shape)
+        else:
+            h = _norm_act(h2, p["norm2"], None, normalization, act)
+    res = conv_s2d(x, p["res_conv"]["conv"]["kernel"],
+                   p["res_conv"]["conv"].get("bias"), s_in=s, s_out=s)
+    return h + res
+
+
+def _upsample_s2d(x, p, act, s_in, s_out):
+    """Upsample block (common.py:45-52) from s2d(s_in) to s2d(s_out):
+    2x bilinear resize (in plain space), reflect pad, 3x3 conv packed to
+    s2d(s_out), channel LN, act."""
+    x = d2s(x, s_in)
+    h, w = x.shape[-3] * 2, x.shape[-2] * 2
+    prec = "highest" if x.dtype == jnp.float32 else "default"
+    x = resize_bilinear(x, h, w, antialias=False, precision=prec)
+    x = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="reflect")
+    y = conv_s2d(x, p["conv"]["kernel"], p["conv"].get("bias"),
+                 s_in=1, s_out=s_out, pad=0)
+    y = _ln_s2d(y, p["norm"], s_out)
+    return act(y)
+
+
+def s2d_schedule(img_size: int, z_channels: int, mults) -> tuple:
+    """Per-level s: smallest power of 2 with s^2 * C_level >= 64 (enough to
+    kill most lane padding), capped so cell grids stay >= 8 and divisible."""
+    sched = []
+    size = img_size
+    for i, m in enumerate(mults):
+        c = z_channels * m
+        s = 1
+        while s * s * c < 64 and size % (2 * s) == 0 and size // (2 * s) >= 8:
+            s *= 2
+        sched.append(s)
+        size //= 2
+    return tuple(sched)
+
+
+def unet_apply_s2d(params: dict, stats: dict, x: jnp.ndarray,
+                   msgs: jnp.ndarray, *, nbits: int, hidden_size: int,
+                   z_channels_mults, activation: str = "relu",
+                   normalization: str = "batch", num_blocks: int = 8,
+                   last_tanh: bool = True,
+                   schedule: tuple | None = None) -> jnp.ndarray:
+    """UNetMsg forward (unet.py:170-197) with per-level s2d layouts.
+
+    Bit-exact reorganization of unet_fused.unet_apply_fused (same math,
+    different operand layouts); parity-tested against it and the linen
+    module in tests/test_unet_s2d.py.
+    """
+    from ..modules.common import get_activation
+    act = get_activation(activation)
+    p = params["unet"]
+    st = stats.get("unet", {}) if stats else {}
+    n_levels = len(z_channels_mults)
+    if schedule is None:
+        # infer z from the inc conv2 kernel: (3,3,z,z)
+        z = p["inc"]["conv2"]["conv"]["kernel"].shape[-1]
+        schedule = s2d_schedule(x.shape[-3], z, z_channels_mults)
+    # sanitize: the stride-2 down conv from level i to i+1 needs
+    # s[i] | 2*s[i+1] (cell stride must be a positive integer)
+    sch = list(schedule)
+    for i in range(n_levels - 2, -1, -1):
+        sch[i] = min(sch[i], 2 * sch[i + 1])
+    sch = tuple(sch)
+
+    x = x * 2 - 1
+    x = s2d(x, sch[0])
+    x = _block_s2d(x, p["inc"], st.get("inc", {}), normalization, act, sch[0])
+    hiddens = [x]
+    levels = [sch[0]]
+    for i in range(n_levels - 1):
+        d = p[f"downs_{i}"]
+        ds = st.get(f"downs_{i}", {})
+        y = conv_s2d(hiddens[-1], d["down"]["kernel"], d["down"]["bias"],
+                     conv_stride=2, s_in=sch[i], s_out=sch[i + 1])
+        y = _block_s2d(y, d["conv"], ds.get("conv", {}), normalization, act,
+                       sch[i + 1])
+        hiddens.append(y)
+        levels.append(sch[i + 1])
+
+    # message injection (msg_processor.py:88-119): bottleneck level always
+    # runs with s == 1 in practice (C >= 128); handle s > 1 via cat_s2d
+    table = p["msg_processor"]["msg_embeddings"].astype(jnp.float32)
+    even, odd = table[0::2], table[1::2]
+    emb = jnp.sum(even, axis=0) + jnp.dot(
+        msgs.astype(jnp.float32), odd - even, precision="highest")
+    lat = hiddens.pop()
+    s_bot = levels[-1]
+    emb_map = jnp.broadcast_to(
+        emb[:, None, None, :].astype(lat.dtype),
+        lat.shape[:-2] + (lat.shape[-2], hidden_size))
+    if s_bot > 1:
+        emb_map = jnp.tile(emb_map, (1, 1, 1, s_bot * s_bot))
+    y = cat_s2d(lat, emb_map, s_bot)
+    hiddens.append(y)
+    for j in range(num_blocks):
+        y = _block_s2d(y, p[f"bottleneck_{j}"], st.get(f"bottleneck_{j}", {}),
+                       normalization, act, s_bot)
+
+    scale = 2 ** -0.5
+    for i in range(n_levels - 1):
+        s_cur = levels[n_levels - 1 - i]
+        s_next = levels[n_levels - 2 - i]
+        y = cat_s2d(y, hiddens.pop() * scale, s_cur)
+        u = p[f"ups_{i}"]
+        us = st.get(f"ups_{i}", {})
+        y = _upsample_s2d(y, u["up"], act, s_cur, s_next)
+        y = _block_s2d(y, u["conv"], us.get("conv", {}), normalization, act,
+                       s_next)
+
+    y = conv_s2d(y, p["outc"]["kernel"], p["outc"]["bias"],
+                 s_in=sch[0], s_out=sch[0])
+    y = d2s(y, sch[0])
+    return jnp.tanh(y) if last_tanh else y
