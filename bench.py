@@ -19,7 +19,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--frames", type=int, default=128)
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)

@@ -33,6 +33,27 @@ class TestFusedDelta:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+class TestFusedDeltaUp:
+    @pytest.mark.parametrize("dtype", ["uint8", "float32"])
+    def test_matches_delta_plus_resize(self, dtype):
+        """fused_jnd_delta_up (in-kernel banded upsample) == resize-then-delta."""
+        from videoseal_tpu.kernels.fused_blend import (fused_jnd_delta,
+                                                       fused_jnd_delta_up)
+        from videoseal_tpu.ops.resize import resize_bilinear
+        rng = np.random.default_rng(3)
+        F, H, W, s = 2, 216, 384, 64
+        if dtype == "uint8":
+            imgs = jnp.asarray(rng.integers(0, 256, (F, H, W, 3)), jnp.uint8)
+        else:
+            imgs = jnp.asarray(rng.uniform(0, 1, (F, H, W, 3)), jnp.float32)
+        pred_low = jnp.asarray(rng.uniform(-1, 1, (F, s, s)), jnp.float32)
+        pred_full = resize_bilinear(pred_low[..., None], H, W,
+                                    precision="highest")[..., 0]
+        ref = fused_jnd_delta(imgs, pred_full, 0.2, interpret=True)
+        got = fused_jnd_delta_up(imgs, pred_low, 0.2, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
 class TestFusedBlend:
     @pytest.mark.parametrize("pred_c", [1, 3])
     def test_matches_reference(self, pred_c):

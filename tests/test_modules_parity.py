@@ -103,6 +103,22 @@ class TestConvNeXt:
         out = m.apply(variables, jnp.asarray(_nhwc(imgs)))
         np.testing.assert_allclose(np.asarray(out), out_ref, atol=1e-4)
 
+    def test_temporal_attention(self):
+        # per-block TemporalBlock (convnext.py:37-39,51-53): frames = batch dim
+        ref = ref_module("modules.convnext")
+        torch.manual_seed(2)
+        depths, dims = [1, 1, 1, 1], [48, 96, 192, 384]
+        tm = ref.ConvNeXtV2(in_chans=3, depths=depths, dims=dims,
+                            temporal_attention=True)
+        tm.eval()
+        imgs = torch.rand(4, 3, 32, 32) * 2 - 1  # 4 frames
+        with torch.no_grad():
+            out_ref = _nhwc(tm(imgs))
+        m = ConvNeXtV2(depths=depths, dims=dims, temporal_attention=True)
+        variables = tc.convert_convnext(_sd(tm), depths=depths)
+        out = m.apply(variables, jnp.asarray(_nhwc(imgs)))
+        np.testing.assert_allclose(np.asarray(out), out_ref, atol=2e-4)
+
     def test_stem_stride2(self):
         ref = ref_module("modules.convnext")
         torch.manual_seed(1)

@@ -140,31 +140,52 @@ class TestCards:
         assert preds.shape == (1, 1 + model.nbits)
 
 
+def _assemble_ref_modules(tiny_card):
+    """Reference torch modules matching tiny_card (shared by conversion tests)."""
+    ref_unet = ref_module("modules.unet")
+    ref_msg = ref_module("modules.msg_processor")
+    ref_cnx = ref_module("modules.convnext")
+    ref_pd = ref_module("modules.pixel_decoder")
+    torch.manual_seed(7)
+    u = tiny_card["embedder"]["params"]["unet"]
+    tmsg = ref_msg.MsgProcessor(16, 32, "binary+concat")
+    tunet = ref_unet.UNetMsg(msg_processor=tmsg, in_channels=u["in_channels"],
+                             out_channels=u["out_channels"], z_channels=u["z_channels"],
+                             num_blocks=u["num_blocks"], activation=u["activation"],
+                             normalization=u["normalization"],
+                             z_channels_mults=u["z_channels_mults"])
+    e = tiny_card["extractor"]["params"]["encoder"]
+    tcnx = ref_cnx.ConvNeXtV2(in_chans=3, depths=e["depths"], dims=e["dims"])
+    tpd = ref_pd.PixelDecoder(embed_dim=64, nbits=16, upscale_stages=[1],
+                              upscale_type="bilinear", pixelwise=False)
+    sd = {}
+    sd.update({f"embedder.unet.{k}": v for k, v in tunet.state_dict().items()})
+    sd.update({f"embedder.msg_processor.{k}": v for k, v in tmsg.state_dict().items()})
+    sd.update({f"detector.convnext.{k}": v for k, v in tcnx.state_dict().items()})
+    sd.update({f"detector.pixel_decoder.{k}": v for k, v in tpd.state_dict().items()})
+    return tunet, tmsg, tcnx, tpd, sd
+
+
+def _write_preset_configs(tiny_card, tmp_path):
+    """Preset yaml files for bare-checkpoint config resolution."""
+    import yaml
+
+    epath = str(tmp_path / "embedder.yaml")
+    xpath = str(tmp_path / "extractor.yaml")
+    with open(epath, "w") as f:
+        yaml.safe_dump({"model": tiny_card["embedder"]["model"],
+                        tiny_card["embedder"]["model"]: tiny_card["embedder"]["params"]}, f)
+    with open(xpath, "w") as f:
+        yaml.safe_dump({"model": tiny_card["extractor"]["model"],
+                        tiny_card["extractor"]["model"]: tiny_card["extractor"]["params"]}, f)
+    return epath, xpath
+
+
 class TestFullCheckpointConversion:
     def test_pth_roundtrip(self, tiny_card, tmp_path):
         """Assemble a reference-style .pth (embedder.unet.* / detector.*),
         load it through the card path, verify forward parity per component."""
-        ref_unet = ref_module("modules.unet")
-        ref_msg = ref_module("modules.msg_processor")
-        ref_cnx = ref_module("modules.convnext")
-        ref_pd = ref_module("modules.pixel_decoder")
-        torch.manual_seed(7)
-        u = tiny_card["embedder"]["params"]["unet"]
-        tmsg = ref_msg.MsgProcessor(16, 32, "binary+concat")
-        tunet = ref_unet.UNetMsg(msg_processor=tmsg, in_channels=u["in_channels"],
-                                 out_channels=u["out_channels"], z_channels=u["z_channels"],
-                                 num_blocks=u["num_blocks"], activation=u["activation"],
-                                 normalization=u["normalization"],
-                                 z_channels_mults=u["z_channels_mults"])
-        e = tiny_card["extractor"]["params"]["encoder"]
-        tcnx = ref_cnx.ConvNeXtV2(in_chans=3, depths=e["depths"], dims=e["dims"])
-        tpd = ref_pd.PixelDecoder(embed_dim=64, nbits=16, upscale_stages=[1],
-                                  upscale_type="bilinear", pixelwise=False)
-        sd = {}
-        sd.update({f"embedder.unet.{k}": v for k, v in tunet.state_dict().items()})
-        sd.update({f"embedder.msg_processor.{k}": v for k, v in tmsg.state_dict().items()})
-        sd.update({f"detector.convnext.{k}": v for k, v in tcnx.state_dict().items()})
-        sd.update({f"detector.pixel_decoder.{k}": v for k, v in tpd.state_dict().items()})
+        tunet, tmsg, tcnx, tpd, sd = _assemble_ref_modules(tiny_card)
         path = str(tmp_path / "ckpt.pth")
         torch.save({"model": sd, "args": {}}, path)
 
@@ -197,3 +218,51 @@ class TestFullCheckpointConversion:
         ours2 = model2.extractor_spec.module.apply(
             model2.extractor_vars, jnp.asarray(y.permute(0, 2, 3, 1).numpy()))
         np.testing.assert_allclose(np.asarray(ours2), np.asarray(ours_preds), atol=1e-6)
+
+
+class TestBareCheckpointLoad:
+    """Rebuild a model from a checkpoint's embedded args — no card named
+    (parity: utils/cfg.py:52-85 get_config_from_checkpoint, :156-178)."""
+
+    def _bare_args(self, tiny_card, epath, xpath):
+        return {**tiny_card["args"],
+                "embedder_config": epath, "extractor_config": xpath,
+                "embedder_model": tiny_card["embedder"]["model"],
+                "extractor_model": tiny_card["extractor"]["model"]}
+
+    def test_npz_bare_load(self, tiny_card, tmp_path):
+        model = vs.models.VideoSeal.from_card(tiny_card)
+        epath, xpath = _write_preset_configs(tiny_card, tmp_path)
+        npz = str(tmp_path / "bare.npz")
+        ckpt_io.save_npz(npz, model.embedder_vars, model.extractor_vars,
+                         args=self._bare_args(tiny_card, epath, xpath))
+        model2 = vs.load(npz)  # no card named
+        assert model2.cfg == model.cfg
+        assert model2.scaling_w == model.scaling_w
+        imgs = jnp.asarray(_frames(2, 32, 32, seed=3))
+        p1 = np.asarray(model.detect(imgs)["preds"])
+        p2 = np.asarray(model2.detect(imgs)["preds"])
+        np.testing.assert_allclose(p2, p1, atol=1e-6)
+
+    def test_pth_bare_load(self, tiny_card, tmp_path):
+        """Reference-style train checkpoint: args stored as a YAML string."""
+        import yaml
+
+        tunet, tmsg, tcnx, tpd, sd = _assemble_ref_modules(tiny_card)
+        epath, xpath = _write_preset_configs(tiny_card, tmp_path)
+        path = str(tmp_path / "train_ckpt.pth")
+        torch.save({"model": sd,
+                    "args": yaml.safe_dump(self._bare_args(tiny_card, epath, xpath))},
+                   path)
+        model = vs.load(path)
+        assert model.cfg.nbits == 16 and model.cfg.img_size == 32
+        assert model.cfg.yuv is True
+        tunet.eval()
+        x = torch.rand(2, 1, 32, 32) * 2 - 1
+        msgs = torch.randint(0, 2, (2, 16))
+        with torch.no_grad():
+            ref_out = tunet(x, msgs).permute(0, 2, 3, 1).numpy()
+        ours = model.embedder_spec.module.apply(
+            model.embedder_vars, jnp.asarray((x.permute(0, 2, 3, 1).numpy() + 1) / 2),
+            jnp.asarray(msgs.numpy()))
+        np.testing.assert_allclose(np.asarray(ours), ref_out, atol=1e-4)

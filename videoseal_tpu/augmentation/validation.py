@@ -58,13 +58,21 @@ def get_combined_augs(is_video: bool = False) -> list:
 
 
 def get_validation_augs(is_video: bool = False, only_identity: bool = False,
-                        only_combined: bool = False) -> list:
-    """Mirror of augmentation/__init__.py:58-124 strength grids."""
+                        only_combined: bool = False,
+                        extended: bool = False) -> list:
+    """Mirror of augmentation/__init__.py:58-124 strength grids.
+
+    `extended` adds rows the reference registers as attacks but leaves out of
+    (or comments out of) its default grid: MedianFilter / GaussianNoise /
+    Saturation sweeps for images (wmforger/augmentation/__init__.py:91,120)
+    and an AV1 CRF sweep for video (video.py:224-242).
+    """
     if only_identity:
         return [(A.Identity(), [0])]
     if only_combined:
         return get_combined_augs(is_video)
     if is_video:
+        extra = [(_codec("av1"), [30, 40, 50])] if extended else []
         return [
             (A.Identity(), [0]),
             (A.HorizontalFlip(), [0]),
@@ -83,8 +91,13 @@ def get_validation_augs(is_video: bool = False, only_identity: bool = False,
             (_codec("h264rgb"), [23, 30, 40, 50]),
             (_codec("h265"), [23, 30, 40, 50]),
             (_codec("vp9"), [30]),
+            *extra,
             *get_combined_augs(is_video=True),
         ]
+    extra = ([(A.Saturation(), [0.5, 1.0, 1.5, 2.0]),
+              (A.MedianFilter(), [3, 5, 9, 13, 17]),
+              (A.GaussianNoise(), [0.02, 0.04, 0.08, 0.12, 0.16])]
+             if extended else [])
     return [
         (A.Identity(), [0]),
         (A.HorizontalFlip(), [0]),
@@ -98,5 +111,6 @@ def get_validation_augs(is_video: bool = False, only_identity: bool = False,
         (A.Grayscale(), [-1]),
         (A.JPEG(), [40, 50, 60, 70, 80, 90]),
         (A.GaussianBlur(), [3, 5, 9, 13, 17]),
+        *extra,
         *get_combined_augs(is_video=False),
     ]

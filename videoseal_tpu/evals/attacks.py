@@ -1,15 +1,17 @@
 """Host-side EXACT codec attacks for evaluation parity.
 
 The training path uses on-device differentiable proxies (augmentation/augs.py);
-evaluation robustness numbers, like the reference's, should use real codecs
-(videoseal/augmentation/valuemetric.py:21-50, video.py:20-259). This
-environment has no PyAV/ffmpeg binary; OpenCV's bundled FFMPEG provides:
+evaluation robustness numbers, like the reference's, use real codecs
+(videoseal/augmentation/valuemetric.py:21-50, video.py:20-259):
 
-  jpeg / webp        -> cv2.imencode (bit-exact libjpeg/libwebp round trip)
-  mpeg4 (mp4v), vp9, mjpeg -> cv2.VideoWriter round trip (no CRF control;
-                        quality via VIDEOWRITER_PROP_QUALITY where supported)
-  h264 / h265        -> NOT available in this image; evals fall back to the
-                        DCT-quantization proxy and mark the column "(proxy)".
+  jpeg / webp          -> cv2.imencode (bit-exact libjpeg/libwebp round trip)
+  h264 / h264rgb / h265 / vp9 / av1
+                       -> the native libavcodec runtime (native/media.cpp,
+                          linked against libx264/x265/libvpx/libsvtav1) with
+                          exact CRF control — the same encoders the
+                          reference's PyAV path drives (video.py:54-86)
+  mpeg4 / mjpeg        -> cv2.VideoWriter fallback when the native runtime
+                          is unavailable (no CRF control)
 """
 
 from __future__ import annotations
@@ -109,7 +111,12 @@ def video_codec_exact(frames: np.ndarray, codec: str = "mpeg4",
 def available_video_codecs() -> list[str]:
     import cv2
     ok = []
+    from .. import native
+    if native.available():
+        ok.extend(c for c in _NATIVE_CODECS if native.codec_available(c))
     for name, (fourcc, ext) in _FOURCC.items():
+        if name in ok:
+            continue
         path = tempfile.mktemp(suffix=ext)
         vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*fourcc), 24, (64, 64))
         if vw.isOpened():

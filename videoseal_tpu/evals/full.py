@@ -23,9 +23,23 @@ import numpy as np
 import jax.numpy as jnp
 
 
+def _lpips_fn():
+    """Eval-time LPIPS (full.py:94 uses net='alex'; falls back to the vgg
+    weights file, then to None -> NaN column) when no converted weights exist
+    (zero-egress environment)."""
+    from ..losses import lpips as L
+    for name in ("lpips_alex", "lpips"):
+        try:
+            return L.build(name, None)
+        except FileNotFoundError:
+            continue
+    return None
+
+
 def evaluate(model, samples, is_video: bool = False, validation_augs=None,
              aggregation: str = "avg", out_csv: str | None = None,
-             max_samples: int | None = None, verbose: bool = True):
+             max_samples: int | None = None, verbose: bool = True,
+             bdrate: bool = True, bdrate_crfs=(28, 34, 40, 46)):
     """samples: iterable of (F|B, H, W, 3) float arrays in [0,1].
 
     Returns list of per-(sample, aug, strength) metric dicts; optionally
@@ -36,6 +50,7 @@ def evaluate(model, samples, is_video: bool = False, validation_augs=None,
 
     if validation_augs is None:
         validation_augs = get_validation_augs(is_video)
+    lpips = _lpips_fn()
 
     rows = []
     for si, imgs in enumerate(samples):
@@ -55,6 +70,9 @@ def evaluate(model, samples, is_video: bool = False, validation_augs=None,
             "msssim": float(M.ms_ssim(imgs_w, imgs).mean())
             if min(imgs.shape[-3:-1]) > 160 else float("nan"),
             "linf": float(M.linf(imgs_w, imgs)),
+            # reference eval measures LPIPS on [-1,1] inputs (full.py:145-146)
+            "lpips": float(lpips(2 * imgs_w - 1, 2 * imgs - 1))
+            if lpips is not None else float("nan"),
         }
         if is_video:
             # optional: needs an ffmpeg with libvmaf (evals/vmaf.py);
@@ -63,6 +81,25 @@ def evaluate(model, samples, is_video: bool = False, validation_augs=None,
             if vmaf_available():
                 base["vmaf"] = vmaf_on_tensor(np.asarray(imgs),
                                               np.asarray(imgs_w))
+                if bdrate:
+                    # Bjontegaard delta rate over a CRF sweep: watermarked vs
+                    # original rate/VMAF curves (full.py:152-166)
+                    r1, v1, r2, v2 = [], [], [], []
+                    for crf in bdrate_crfs:
+                        s, aux = vmaf_on_tensor(np.asarray(imgs),
+                                                return_aux=True, crf=crf)
+                        r1.append(aux["bps2"]); v1.append(s)
+                        s, aux = vmaf_on_tensor(np.asarray(imgs_w),
+                                                return_aux=True, crf=crf)
+                        r2.append(aux["bps2"]); v2.append(s)
+                    if all(x is not None for x in v1 + v2):
+                        base.update({
+                            "r1": "_".join(f"{x:.4g}" for x in r1),
+                            "vmaf1": "_".join(f"{x:.4g}" for x in v1),
+                            "r2": "_".join(f"{x:.4g}" for x in r2),
+                            "vmaf2": "_".join(f"{x:.4g}" for x in v2),
+                            "bd_rate": float(M.bd_rate(r1, v1, r2, v2)),
+                        })
 
         mask = jnp.ones_like(imgs_w[..., :1])
         for aug, strengths in validation_augs:
@@ -142,6 +179,8 @@ def main():
     ap.add_argument("--videoseal_step_size", type=int, default=None)
     ap.add_argument("--video_aggregation", default="avg")
     ap.add_argument("--only_identity", type=int, default=0)
+    ap.add_argument("--bdrate", type=int, default=1,
+                    help="BD-rate CRF sweep for video (full.py:152-166)")
     args = ap.parse_args()
 
     import videoseal_tpu as vs
@@ -167,7 +206,7 @@ def main():
     evaluate(model, samples, is_video=bool(args.is_video), validation_augs=augs,
              aggregation=args.video_aggregation,
              out_csv=os.path.join(args.output_dir, "metrics.csv"),
-             max_samples=args.num_samples)
+             max_samples=args.num_samples, bdrate=bool(args.bdrate))
 
 
 if __name__ == "__main__":

@@ -42,7 +42,12 @@ def _timed_chain(fn, x, k: int):
     return max((total - rtt) / (k - 1), 1e-9)
 
 
-def test_speed(model, frames, num_runs: int = 8, is_video: bool = True) -> dict:
+def test_speed(model, frames, num_runs: int = 8, is_video: bool = True,
+               trace_dir: str | None = None) -> dict:
+    """Timed embed/extract. With trace_dir, one warm embed+extract pass runs
+    under jax.profiler.trace — the artifact opens in XProf/TensorBoard
+    (the reference's tracing story is wall-clock only, SURVEY §5; this is the
+    TPU-native equivalent)."""
     import jax
     import jax.numpy as jnp
     from ..models.videoseal import embed_pipeline, detect_pipeline
@@ -68,6 +73,18 @@ def test_speed(model, frames, num_runs: int = 8, is_video: bool = True) -> dict:
     t_embed = _timed_chain(embed_once, frames, k)
     t_extract = _timed_chain(extract_once, frames, k)
 
+    if trace_dir:
+        ef = jax.jit(embed_once)
+        xf = jax.jit(extract_once)
+        jax.block_until_ready(ef(frames))  # compile outside the trace
+        jax.block_until_ready(xf(frames))
+        with jax.profiler.trace(trace_dir):
+            with jax.profiler.TraceAnnotation("embed"):
+                out = ef(frames)
+            with jax.profiler.TraceAnnotation("extract"):
+                out2 = xf(out)
+            jax.block_until_ready((out, out2))
+
     f = frames.shape[0]
     return {
         "frames": f,
@@ -87,6 +104,8 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--num_runs", type=int, default=8)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--trace_dir", default=None,
+                    help="capture a jax.profiler trace of one embed+extract")
     args = ap.parse_args()
 
     import videoseal_tpu as vs
@@ -96,7 +115,7 @@ def main():
     rng = np.random.default_rng(0)
     frames = rng.uniform(0, 1, (args.num_frames, args.height, args.width, 3)
                          ).astype(np.float32)
-    stats = test_speed(model, frames, args.num_runs)
+    stats = test_speed(model, frames, args.num_runs, trace_dir=args.trace_dir)
     print(json.dumps({"card": args.card, "dtype": args.dtype,
                       "resolution": f"{args.height}x{args.width}", **stats}))
 

@@ -249,6 +249,197 @@ def _delta_kernel(sw_ref, lum_hbm, pred_hbm, out_ref,
     out_ref[0] = (sw_ref[0] * h) * pred_vmem[slot].astype(jnp.float32)
 
 
+def _pick_tile_delta(h: int, w: int, lum_bytes: int = 2) -> int | None:
+    """Row tile for the delta kernels: largest multiple of 8 dividing h whose
+    VMEM working set (~6 live f32 temporaries + double-buffered lum/out)
+    fits. Bigger tiles amortize per-step overhead (measured: th=120 runs at
+    ~490 GB/s vs ~315 at th=72 on 1080p)."""
+    wq = -(-w // 128) * 128
+    wp = wq + 128
+    for th in (216, 184, 152, 120, 104, 88, 72, 56, 40, 32, 24, 16, 8):
+        if h % th:
+            continue
+        vmem = (2 * (th + 8) * wp * lum_bytes    # double-buffered lum tiles
+                + 2 * th * wq * 4                # out blocks
+                + 2 * th * wq * 4                # pred tile + band scratch
+                + 6 * (th + 8) * wp * 4)         # rotating f32 temporaries
+        if vmem < 14 * 1024 * 1024:
+            return th
+    return None
+
+
+def _jnd_heatmap_tile(lum, th: int, w: int, wp: int):
+    """The JND la/cm math on one (th+8, wp) f32 luminance tile -> (th, w)
+    heatmap in [0,1] (modules/jnd.py:63-108, jnd_1_1)."""
+    def vsum(src, n, top):
+        acc = jax.lax.slice(src, (top, 0), (top + th, wp))
+        for d in range(1, n):
+            acc = acc + jax.lax.slice(src, (top + d, 0), (top + d + th, wp))
+        return acc
+
+    def hsum(src, n, left):
+        acc = jax.lax.slice(src, (0, left), (th, left + w))
+        for d in range(1, n):
+            acc = acc + jax.lax.slice(src, (0, left + d), (th, left + d + w))
+        return acc
+
+    col5 = vsum(lum, 5, 2)
+    col3 = vsum(lum, 3, 3)
+    center = jax.lax.slice(lum, (4, 2), (4 + th, 2 + w))
+    la = (hsum(col5, 5, 0) + hsum(col3, 3, 1) - 2.0 * center) * (1.0 / 32.0)
+    lo = 17.0 * (1.0 - jnp.sqrt(la * (1.0 / 127.0) + 1e-5))
+    hi = (3.0 / 128.0) * (la - 127.0) + 3.0
+    la = jnp.where(la <= 127.0, lo, hi)
+
+    t = (jax.lax.slice(lum, (3, 0), (3 + th, wp))
+         + 2.0 * jax.lax.slice(lum, (4, 0), (4 + th, wp))
+         + jax.lax.slice(lum, (5, 0), (5 + th, wp)))
+    gx = (jax.lax.slice(t, (0, 3), (th, 3 + w))
+          - jax.lax.slice(t, (0, 1), (th, 1 + w)))
+    s_diff = (jax.lax.slice(lum, (3, 0), (3 + th, wp))
+              - jax.lax.slice(lum, (5, 0), (5 + th, wp)))
+    gy = (jax.lax.slice(s_diff, (0, 1), (th, 1 + w))
+          + 2.0 * jax.lax.slice(s_diff, (0, 2), (th, 2 + w))
+          + jax.lax.slice(s_diff, (0, 3), (th, 3 + w)))
+    cm2 = gx * gx + gy * gy
+    cm = jnp.sqrt(cm2)
+    cm = 16.0 * jnp.exp(jnp.log(jnp.maximum(cm, 1e-20)) * 2.4) / (cm2 + 676.0)
+    cm = jnp.where(cm2 > 0.0, cm, 0.0)
+    cm = 0.117 * cm
+    return jnp.maximum(la + cm - 0.3 * jnp.minimum(la, cm), 0.0) * (1.0 / 255.0)
+
+
+def _delta_up_kernel(sw_ref, lum_hbm, tmp_hbm, mh_ref, out_ref,
+                     lum_vmem, tmp_vmem, sem_lum, sem_tmp, *, th: int, w: int,
+                     wp: int, band: int, in_h: int, out_h: int,
+                     n_tiles: int, n_steps: int):
+    """Delta kernel with the prediction UPSAMPLE fused in: instead of reading
+    a full-res prediction plane from HBM (the resize_up materialization), each
+    tile DMAs only the `band` low-res rows it needs (width already resized by
+    one XLA matmul) and lifts them with a (th, band) x (band, w) MXU matmul —
+    ~30x less prediction traffic at 256->1080."""
+    f = pl.program_id(0)
+    i = pl.program_id(1)
+    step = f * n_tiles + i
+    slot = jax.lax.rem(step, 2)
+    nxt = jax.lax.rem(step + 1, 2)
+
+    def band_start(ts):
+        # 8-aligned (Mosaic: dynamic DMA sublane offsets must honor tiling)
+        s = jax.lax.div(jax.lax.div(ts * th * in_h, out_h) - 1, 8) * 8
+        return jnp.clip(s, 0, in_h - band)
+
+    def dma_lum(s, sl):
+        fs = jax.lax.div(s, n_tiles)
+        ts = jax.lax.rem(s, n_tiles)
+        return pltpu.make_async_copy(
+            lum_hbm.at[fs, pl.ds(ts * th, th + 8)], lum_vmem.at[sl],
+            sem_lum.at[sl])
+
+    def dma_tmp(s, sl):
+        fs = jax.lax.div(s, n_tiles)
+        ts = jax.lax.rem(s, n_tiles)
+        return pltpu.make_async_copy(
+            tmp_hbm.at[fs, pl.ds(band_start(ts), band)], tmp_vmem.at[sl],
+            sem_tmp.at[sl])
+
+    @pl.when(step == 0)
+    def _():
+        dma_lum(step, slot).start()
+        dma_tmp(step, slot).start()
+
+    @pl.when(step + 1 < n_steps)
+    def _():
+        dma_lum(step + 1, nxt).start()
+        dma_tmp(step + 1, nxt).start()
+
+    dma_lum(step, slot).wait()
+    dma_tmp(step, slot).wait()
+
+    lum = lum_vmem[slot].astype(jnp.float32)
+    h = _jnd_heatmap_tile(lum, th, w, wp)
+    pred = jnp.dot(mh_ref[i], tmp_vmem[slot],
+                   preferred_element_type=jnp.float32)   # (th, band)@(band, w)
+    out_ref[0] = (sw_ref[0] * h) * pred
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "lum_dtype"))
+def fused_jnd_delta_up(imgs: jnp.ndarray, pred_low: jnp.ndarray, scaling_w,
+                       interpret: bool = False,
+                       lum_dtype=jnp.float32) -> jnp.ndarray:
+    """imgs: (F, H, W, 3) [0,1] float or uint8; pred_low: (F, s, s) watermark
+    prediction at PROCESSING resolution. Returns delta (F, H, W) =
+    scaling_w * jnd_heatmap(imgs) * bilinear_upscale(pred_low).
+
+    Matches fused_jnd_delta(imgs, resize_bilinear(pred_low, H, W), sw) while
+    never materializing the full-res prediction: the width resize is one
+    (s -> W) matmul at low height; the height lift happens per-tile in VMEM.
+    """
+    from ..ops.resize import _resize_matrix
+
+    f, h, w, _ = imgs.shape
+    s = pred_low.shape[-1]
+    th = _pick_tile_delta(h, w, jnp.dtype(lum_dtype).itemsize)
+    assert th is not None, f"no row tile divides H={h}"
+    band = -(-(th * s) // h) + 3 + 7  # +7: start is aligned DOWN to 8
+    band = -(-band // 8) * 8          # sublane-align the band size
+    band = min(band, s)
+
+    sc = 255.0 if jnp.issubdtype(imgs.dtype, jnp.floating) else 1.0
+    x = imgs.astype(jnp.float32)
+    lum = (x[..., 0] * (0.299 * sc) + x[..., 1] * (0.587 * sc)
+           + x[..., 2] * (0.114 * sc))
+    wq = -(-w // 128) * 128
+    wp = wq + 128
+    lum = jnp.pad(lum, ((0, 0), (4, 4), (2, wp - w - 2))).astype(lum_dtype)
+
+    # width resize first: (F, s, s) @ (s, W)^T, one MXU pass at low height
+    mw = jnp.asarray(_resize_matrix(s, w, antialias=True), jnp.float32)
+    tmp = jnp.einsum("Ww,fhw->fhW", mw, pred_low.astype(jnp.float32),
+                     precision="highest")
+    if wq != w:
+        tmp = jnp.pad(tmp, ((0, 0), (0, 0), (0, wq - w)))
+
+    # per-tile height-lift bands of the (H, s) resize matrix
+    mh_full = _resize_matrix(s, h, antialias=True)     # (H, s)
+    n_tiles = h // th
+    mh_packed = np.zeros((n_tiles, th, band), np.float32)
+    for i in range(n_tiles):
+        start = min(max((i * th * s // h - 1) // 8 * 8, 0), s - band)
+        rows = mh_full[i * th:(i + 1) * th]
+        nz = np.nonzero(rows)[1]
+        assert nz.min() >= start and nz.max() < start + band, \
+            f"height-lift band too narrow at tile {i}"
+        mh_packed[i, :, :] = rows[:, start:start + band]
+    mh = jnp.asarray(mh_packed)
+
+    kern = functools.partial(_delta_up_kernel, th=th, w=wq, wp=wp, band=band,
+                             in_h=s, out_h=h, n_tiles=n_tiles,
+                             n_steps=f * n_tiles)
+    sw = jnp.reshape(jnp.asarray(scaling_w, jnp.float32), (1,))
+    out = pl.pallas_call(
+        kern,
+        grid=(f, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # mh: 230KB, resident
+        ],
+        out_specs=pl.BlockSpec((1, th, wq), lambda fi, i: (fi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((f, h, wq), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 8, wp), jnp.dtype(lum_dtype)),
+            pltpu.VMEM((2, band, wq), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(sw, lum, tmp, mh)
+    return out[..., :w]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_jnd_delta(imgs: jnp.ndarray, pred: jnp.ndarray, scaling_w,
                     interpret: bool = False) -> jnp.ndarray:

@@ -99,11 +99,17 @@ def build_perceptual_loss(percep_loss: str, weights_dir: str | None = None) -> L
     parts = percep_loss.split("+")
     terms: list[tuple[float, LossFn]] = []
     for part in parts:
+        # 'weight_loss' form; loss names may themselves contain '_'
+        # (watson_vgg, watson_dft), so only split when the head parses
         if "_" in part:
-            weight, key = part.split("_", 1)
-            terms.append((float(weight), build_loss(key, weights_dir)))
+            head, key = part.split("_", 1)
+            try:
+                w = float(head)
+            except ValueError:
+                w, key = 1.0, part
         else:
-            terms.append((1.0, build_loss(part, weights_dir)))
+            w, key = 1.0, part
+        terms.append((w, build_loss(key, weights_dir)))
 
     def combined(x, y):
         total = jnp.zeros(())

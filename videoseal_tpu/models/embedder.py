@@ -67,6 +67,17 @@ class HiddenEmbedder(nn.Module):
                              name="hidden_encoder")(x, m)
 
 
+class DVMarkEmbedder(nn.Module):
+    """DVMark 3D-conv encoder (embedder.py:206-240); preprocess x2-1 inside."""
+    nbits: int
+
+    @nn.compact
+    def __call__(self, imgs, msgs, train: bool = False):
+        x = imgs * 2 - 1
+        from ..modules.dvmark import DVMarkEncoder
+        return DVMarkEncoder(num_bits=self.nbits, name="dvmark_encoder")(x, msgs, train)
+
+
 @dataclasses.dataclass
 class EmbedderSpec:
     """Build result: module + metadata the pipeline needs."""
@@ -99,6 +110,9 @@ def build_embedder(name: str, cfg: dict, nbits: int,
     elif name.startswith("hidden"):
         out_c = 3
         module = HiddenEmbedder(nbits=nbits, **cfg)
+    elif name.startswith("dvmark"):
+        out_c = 3
+        module = DVMarkEmbedder(nbits=nbits)
     else:
         raise NotImplementedError(f"Embedder {name} not implemented")
     return EmbedderSpec(module=module, yuv="yuv" in name, nbits=nbits, out_channels=out_c)

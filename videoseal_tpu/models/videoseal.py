@@ -66,6 +66,7 @@ class PipelineConfig:
     fused_blend: bool = False      # Pallas JND+blend kernel (TPU serving mode)
     fused_extractor: bool = False  # Pallas ConvNeXt block kernels (TPU serving)
     fused_embedder: bool = False   # BN-folded raw-param UNet forward (serving)
+    s2d_embedder: bool = False     # space-to-depth UNet layout (kernels/unet_s2d)
 
 
 # ---------------------------------------------------------------------------
@@ -147,16 +148,23 @@ def embed_pipeline(embedder, attenuation: JND | None, cfg: PipelineConfig,
         if cfg.fused_embedder:
             from .embedder import UnetEmbedder
             if isinstance(embedder, UnetEmbedder):
-                from ..kernels.unet_fused import unet_apply_fused
                 u = embedder.unet
-                return unet_apply_fused(
-                    variables["params"], variables.get("batch_stats", {}), x, m,
+                kwargs = dict(
                     nbits=embedder.nbits, hidden_size=embedder.hidden_size,
                     z_channels_mults=tuple(u["z_channels_mults"]),
                     activation=u.get("activation", "relu"),
                     normalization=u.get("normalization", "batch"),
                     num_blocks=u.get("num_blocks", 8),
                     last_tanh=u.get("last_tanh", True))
+                if cfg.s2d_embedder:
+                    from ..kernels.unet_s2d import unet_apply_s2d
+                    return unet_apply_s2d(
+                        variables["params"], variables.get("batch_stats", {}),
+                        x, m, **kwargs)
+                from ..kernels.unet_fused import unet_apply_fused
+                return unet_apply_fused(
+                    variables["params"], variables.get("batch_stats", {}), x, m,
+                    **kwargs)
         return embedder.apply(variables, x, m)
 
     if is_video:
@@ -185,14 +193,23 @@ def embed_pipeline(embedder, attenuation: JND | None, cfg: PipelineConfig,
     preds_full = resize_bilinear(preds, h, w, precision=cfg.resize_precision)
     if attenuation is not None and not lowres_attenuation:
         if cfg.fused_blend and cfg.clamp:
-            from ..kernels.fused_blend import (fused_jnd_blend, fused_jnd_delta,
+            from ..kernels.fused_blend import (_pick_tile_delta,
+                                               fused_jnd_blend, fused_jnd_delta,
+                                               fused_jnd_delta_up,
                                                supports_fused_blend)
             if supports_fused_blend(h, w, preds_full.shape[-1], attenuation,
                                     cfg.blending_method):
                 if preds_full.shape[-1] == 1:
                     # transpose-free fast path: kernel emits the delta plane,
-                    # the RGB blend fuses into one XLA elementwise pass
-                    delta = fused_jnd_delta(imgs, preds_full[..., 0], scaling_w)
+                    # the RGB blend fuses into one XLA elementwise pass.
+                    # When the proc-res grid is square, the prediction
+                    # upsample fuses INTO the kernel (banded height lift) —
+                    # the full-res prediction is never materialized.
+                    if (preds.shape[-2] == preds.shape[-3]
+                            and _pick_tile_delta(h, w) is not None):
+                        delta = fused_jnd_delta_up(imgs, preds[..., 0], scaling_w)
+                    else:
+                        delta = fused_jnd_delta(imgs, preds_full[..., 0], scaling_w)
                     if is_u8:
                         out = (scaling_i * imgs.astype(jnp.float32)
                                + 255.0 * delta[..., None])
@@ -363,11 +380,16 @@ class VideoSeal:
                      and isinstance(self.extractor_spec.module, ConvnextExtractor))
         fused_emb = (isinstance(self.embedder_spec.module, UnetEmbedder)
                      and supports_unet_fused(self.embedder_spec.module.unet))
+        # Space-to-depth UNet layout (kernels/unet_s2d.py): keeps the small-
+        # channel top levels MXU-dense. TPU serving only — on CPU the extra
+        # FLOPs are a loss. Parity-gated by tests/test_unet_s2d.py.
+        s2d_emb = fused_emb and fused_blend and self.cfg.img_size % 8 == 0
         cfg = dataclasses.replace(self.cfg, compute_dtype=dtype,
                                   resize_precision=resize_precision,
                                   fused_blend=fused_blend,
                                   fused_extractor=fused_ext,
-                                  fused_embedder=fused_emb)
+                                  fused_embedder=fused_emb,
+                                  s2d_embedder=s2d_emb)
         return VideoSeal(self.embedder_spec, self.extractor_spec,
                          cast(self.embedder_vars), cast(self.extractor_vars),
                          self.attenuation, cfg, scaling_w=self.scaling_w,

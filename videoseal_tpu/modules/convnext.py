@@ -23,8 +23,15 @@ from .common import ChannelLayerNorm, GRN, get_activation
 
 
 class ConvNeXtBlock(nn.Module):
-    """dwconv7x7 -> LN -> pw(4x) -> GELU -> GRN -> pw -> residual (convnext.py:21-57)."""
+    """dwconv7x7 -> LN -> pw(4x) -> GELU -> GRN -> pw -> residual (convnext.py:21-57).
+
+    With `temporal_attention`, a TemporalBlock (attention across the frame/
+    batch axis at each spatial location) runs after pwconv2, inside the
+    residual — exactly where the reference inserts temp_block
+    (convnext.py:37-39,51-53; heads = dim//48, rel-pos over video_len 32).
+    """
     dim: int
+    temporal_attention: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -36,6 +43,11 @@ class ConvNeXtBlock(nn.Module):
         x = get_activation("gelu")(x)
         x = GRN(name="grn")(x)
         x = nn.Dense(self.dim, name="pwconv2")(x)
+        if self.temporal_attention:
+            from .vit import TemporalBlock
+            x = TemporalBlock(self.dim, num_heads=self.dim // 48,
+                              use_rel_pos=True, video_len=32,
+                              name="temp_block")(x)
         return inp + x
 
 
@@ -113,6 +125,7 @@ class ConvNeXtV2(nn.Module):
     dims: Sequence[int] = (96, 192, 384, 768)
     stem_stride: int = 4
     temporal_convs: bool = False
+    temporal_attention: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -120,7 +133,8 @@ class ConvNeXtV2(nn.Module):
         x = StemConv(self.dims[0], self.stem_stride, name="stem_conv")(x)
         x = ChannelLayerNorm(name="stem_norm")(x)
         for j in range(self.depths[0]):
-            x = ConvNeXtBlock(self.dims[0], name=f"stage0_block{j}")(x)
+            x = ConvNeXtBlock(self.dims[0], self.temporal_attention,
+                              name=f"stage0_block{j}")(x)
         for i in range(1, 4):
             x = ChannelLayerNorm(name=f"down{i}_norm")(x)
             x = nn.Conv(self.dims[i], (2, 2), strides=(2, 2), padding="VALID",
@@ -128,7 +142,8 @@ class ConvNeXtV2(nn.Module):
             if self.temporal_convs:
                 x = TemporalConv(self.dims[i], name=f"down{i}_temporal")(x)
             for j in range(self.depths[i]):
-                x = ConvNeXtBlock(self.dims[i], name=f"stage{i}_block{j}")(x)
+                x = ConvNeXtBlock(self.dims[i], self.temporal_attention,
+                                  name=f"stage{i}_block{j}")(x)
         return x
 
 

@@ -78,6 +78,52 @@ def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int, antialias: bool = Tr
     return y.astype(dt)
 
 
+@functools.lru_cache(maxsize=64)
+def _cubic_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out_size, in_size) bicubic resampling matrix, torch semantics.
+
+    Matches ``F.interpolate(mode="bicubic", align_corners=False,
+    antialias=False)``: Keys cubic kernel with a=-0.75, half-pixel centers,
+    border taps clamped. Used for DINOv2 positional-embedding interpolation
+    (reference models/extractor.py:72-110 -> dinov2's interpolate_pos_encoding).
+    """
+    if in_size == out_size:
+        return np.eye(in_size, dtype=np.float32)
+    a = -0.75
+    scale = in_size / out_size
+    dst = np.arange(out_size, dtype=np.float64)
+    center = scale * (dst + 0.5) - 0.5
+    base = np.floor(center).astype(np.int64)
+    frac = center - base
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+
+    def keys(t):
+        t = np.abs(t)
+        return np.where(
+            t <= 1.0, ((a + 2) * t - (a + 3)) * t * t + 1,
+            np.where(t < 2.0, (((t - 5) * t + 8) * t - 4) * a, 0.0))
+
+    for k in range(-1, 3):
+        w = keys(frac - k)
+        cols = np.clip(base + k, 0, in_size - 1)
+        np.add.at(mat, (np.arange(out_size), cols), w)
+    return mat.astype(np.float32)
+
+
+def resize_bicubic(x: jnp.ndarray, out_h: int, out_w: int,
+                   precision: str = "highest") -> jnp.ndarray:
+    """Bicubic resize of (..., H, W, C), torch ``mode="bicubic"`` semantics."""
+    h, w = x.shape[-3], x.shape[-2]
+    if (h, w) == (out_h, out_w):
+        return x
+    mh = jnp.asarray(_cubic_matrix(h, out_h), dtype=jnp.float32)
+    mw = jnp.asarray(_cubic_matrix(w, out_w), dtype=jnp.float32)
+    y = x.astype(jnp.float32)
+    y = jnp.einsum("Hh,...hwc->...Hwc", mh, y, precision=precision)
+    y = jnp.einsum("Ww,...hwc->...hWc", mw, y, precision=precision)
+    return y.astype(x.dtype)
+
+
 def resize_to(x: jnp.ndarray, size: int | tuple[int, int], antialias: bool = True) -> jnp.ndarray:
     """Convenience wrapper: square (int) or (h, w) target."""
     if isinstance(size, int):

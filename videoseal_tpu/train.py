@@ -294,7 +294,7 @@ def main(args=None):
                     line = logger.line(prefix=f"step {it}/{total_steps} [{modality}]")
                     print(line, flush=True)
                     with open(log_path, "a") as f:
-                        f.write(json.dumps({"step": it, **logger.averages()}) + "\n")
+                        f.write(json.dumps({"step": it, **logger.recent()}) + "\n")
                 it += 1
             epoch += 1
             if epoch % args.saveckpt_freq == 0:

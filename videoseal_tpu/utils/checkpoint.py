@@ -37,10 +37,19 @@ def unflatten_tree(flat: dict) -> dict:
     return tree
 
 
-def save_npz(path: str, embedder_vars: dict, extractor_vars: dict) -> None:
+def save_npz(path: str, embedder_vars: dict, extractor_vars: dict,
+             args: dict | None = None) -> None:
+    """Save model weights; `args` (the card's training-args dict) is embedded
+    as a JSON blob so utils.cfg.get_config_from_checkpoint can rebuild the
+    model without a card (parity: reference ckpts embed args, cfg.py:52-85)."""
     flat = {}
     flat.update({f"embedder{SEP}{k}": v for k, v in flatten_tree(embedder_vars).items()})
     flat.update({f"extractor{SEP}{k}": v for k, v in flatten_tree(extractor_vars).items()})
+    if args is not None:
+        import json
+
+        blob = json.dumps(args).encode()
+        flat["__args__"] = np.frombuffer(blob, dtype=np.uint8)
     np.savez(path, **flat)
 
 

@@ -48,6 +48,11 @@ class MetricLogger:
     def averages(self) -> dict:
         return {k: m.global_avg for k, m in self.meters.items()}
 
+    def recent(self) -> dict:
+        """Windowed medians — the trajectory signal (global_avg flattens
+        any learning trend into the lifetime mean)."""
+        return {k: m.median for k, m in self.meters.items()}
+
     def line(self, prefix: str = "", keys=None) -> str:
         keys = keys or list(self.meters)
         parts = [prefix] if prefix else []

@@ -158,6 +158,24 @@ def convert_unet_msg(sd: Mapping[str, Any], *, normalization: str,
     return out
 
 
+def _convert_temporal_block(sd: Mapping[str, Any], t2: str, p: dict, o2: str):
+    """Reference TemporalBlock (vit.py:212-243) -> flax TemporalBlock params."""
+    for n in ("norm1", "norm2"):
+        _set(p, f"{o2}/{n}/scale", sd[f"{t2}.{n}.weight"])
+        _set(p, f"{o2}/{n}/bias", sd[f"{t2}.{n}.bias"])
+    _set(p, f"{o2}/attn/qkv/kernel", _lin(sd[f"{t2}.attn.qkv.weight"]))
+    if f"{t2}.attn.qkv.bias" in sd:
+        _set(p, f"{o2}/attn/qkv/bias", sd[f"{t2}.attn.qkv.bias"])
+    _set(p, f"{o2}/attn/proj/kernel", _lin(sd[f"{t2}.attn.proj.weight"]))
+    _set(p, f"{o2}/attn/proj/bias", sd[f"{t2}.attn.proj.bias"])
+    if f"{t2}.attn.rel_pos" in sd:
+        _set(p, f"{o2}/attn/rel_pos", sd[f"{t2}.attn.rel_pos"])
+    _set(p, f"{o2}/mlp/lin1/kernel", _lin(sd[f"{t2}.mlp.lin1.weight"]))
+    _set(p, f"{o2}/mlp/lin1/bias", sd[f"{t2}.mlp.lin1.bias"])
+    _set(p, f"{o2}/mlp/lin2/kernel", _lin(sd[f"{t2}.mlp.lin2.weight"]))
+    _set(p, f"{o2}/mlp/lin2/bias", sd[f"{t2}.mlp.lin2.bias"])
+
+
 def convert_convnext(sd: Mapping[str, Any], *, depths, prefix: str = "",
                      temporal_convs: bool = False) -> dict:
     """Reference ConvNeXtV2 state_dict -> params tree (convnext.py:88-156)."""
@@ -191,6 +209,8 @@ def convert_convnext(sd: Mapping[str, Any], *, depths, prefix: str = "",
             _set(p, f"{o}/grn/beta", np.asarray(sd[f"{t}.grn.beta"]).reshape(-1))
             _set(p, f"{o}/pwconv2/kernel", _lin(sd[f"{t}.pwconv2.weight"]))
             _set(p, f"{o}/pwconv2/bias", sd[f"{t}.pwconv2.bias"])
+            if f"{t}.temp_block.norm1.weight" in sd:  # per-block temporal attn
+                _convert_temporal_block(sd, f"{t}.temp_block", p, f"{o}/temp_block")
     return {"params": p}
 
 
@@ -288,22 +308,8 @@ def convert_vit(sd: Mapping[str, Any], *, depth: int, prefix: str = "",
         _set(p, f"{o}/mlp/lin2/kernel", _lin(sd[f"{t}.mlp.lin2.weight"]))
         _set(p, f"{o}/mlp/lin2/bias", sd[f"{t}.mlp.lin2.bias"])
         if temporal:
-            t2 = f"{prefix}temp_blocks.{i}"
-            o2 = f"temp_block_{i}"
-            for n in ("norm1", "norm2"):
-                _set(p, f"{o2}/{n}/scale", sd[f"{t2}.{n}.weight"])
-                _set(p, f"{o2}/{n}/bias", sd[f"{t2}.{n}.bias"])
-            _set(p, f"{o2}/attn/qkv/kernel", _lin(sd[f"{t2}.attn.qkv.weight"]))
-            if f"{t2}.attn.qkv.bias" in sd:
-                _set(p, f"{o2}/attn/qkv/bias", sd[f"{t2}.attn.qkv.bias"])
-            _set(p, f"{o2}/attn/proj/kernel", _lin(sd[f"{t2}.attn.proj.weight"]))
-            _set(p, f"{o2}/attn/proj/bias", sd[f"{t2}.attn.proj.bias"])
-            if f"{t2}.attn.rel_pos" in sd:
-                _set(p, f"{o2}/attn/rel_pos", sd[f"{t2}.attn.rel_pos"])
-            _set(p, f"{o2}/mlp/lin1/kernel", _lin(sd[f"{t2}.mlp.lin1.weight"]))
-            _set(p, f"{o2}/mlp/lin1/bias", sd[f"{t2}.mlp.lin1.bias"])
-            _set(p, f"{o2}/mlp/lin2/kernel", _lin(sd[f"{t2}.mlp.lin2.weight"]))
-            _set(p, f"{o2}/mlp/lin2/bias", sd[f"{t2}.mlp.lin2.bias"])
+            _convert_temporal_block(sd, f"{prefix}temp_blocks.{i}", p,
+                                    f"temp_block_{i}")
     _set(p, "neck_conv1/kernel", _c2d(sd[f"{prefix}neck.0.weight"]))
     _set(p, "neck_norm1/weight", sd[f"{prefix}neck.1.weight"])
     _set(p, "neck_norm1/bias", sd[f"{prefix}neck.1.bias"])
