@@ -325,9 +325,12 @@ def _delta_up_kernel(sw_ref, lum_hbm, tmp_hbm, mh_ref, out_ref,
     nxt = jax.lax.rem(step + 1, 2)
 
     def band_start(ts):
-        # 8-aligned (Mosaic: dynamic DMA sublane offsets must honor tiling)
-        s = jax.lax.div(jax.lax.div(ts * th * in_h, out_h) - 1, 8) * 8
-        return jnp.clip(s, 0, in_h - band)
+        # 8-aligned (Mosaic: dynamic DMA sublane offsets must honor tiling).
+        # Clip in units of 8 and multiply LAST so the alignment is provable
+        # (a clip after the *8 defeats Mosaic's divisibility analysis).
+        s8 = jax.lax.div(jax.lax.div(ts * th * in_h, out_h) - 1, 8)
+        s8 = jnp.clip(s8, 0, (in_h - band) // 8)
+        return s8 * 8
 
     def dma_lum(s, sl):
         fs = jax.lax.div(s, n_tiles)
