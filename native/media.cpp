@@ -64,6 +64,39 @@ bool frame_to_rgb(const AVFrame* frame, uint8_t* rgb, int w, int h, Scaler& s) {
   return true;
 }
 
+// Decode straight into the TPU serving layout: padded planar RGB u8, one
+// (hp, wb) plane per channel, image at rows [r0, r0+h) cols [c0, c0+w).
+// Two sws stages: yuv->RGB24 (bit-identical to frame_to_rgb, so planar and
+// interleaved reads agree exactly) then an RGB24->GBRP de-interleave (a pure
+// SIMD shuffle, no color math) writing the planes at the padded offsets.
+// Caller zeroes padding once.
+bool frame_to_planar(const AVFrame* frame, uint8_t* buf, int w, int h,
+                     int hp, int wb, int r0, int c0, Scaler& s,
+                     Scaler& split, std::vector<uint8_t>& scratch) {
+  s.ctx = sws_getCachedContext(s.ctx, frame->width, frame->height,
+                               (AVPixelFormat)frame->format, w, h,
+                               AV_PIX_FMT_RGB24, SWS_BICUBIC, nullptr, nullptr,
+                               nullptr);
+  if (!s.ctx) return false;
+  scratch.resize((size_t)3 * h * w);
+  uint8_t* rgb[1] = {scratch.data()};
+  int rgb_stride[1] = {3 * w};
+  sws_scale(s.ctx, frame->data, frame->linesize, 0, frame->height, rgb,
+            rgb_stride);
+
+  split.ctx = sws_getCachedContext(split.ctx, w, h, AV_PIX_FMT_RGB24, w, h,
+                                   AV_PIX_FMT_GBRP, SWS_POINT, nullptr,
+                                   nullptr, nullptr);
+  if (!split.ctx) return false;
+  size_t plane = (size_t)hp * wb;
+  uint8_t* base = buf + (size_t)r0 * wb + c0;
+  // GBRP plane order is G,B,R; map onto our R,G,B plane slots
+  uint8_t* dst[3] = {base + plane, base + 2 * plane, base};
+  int dst_stride[3] = {wb, wb, wb};
+  sws_scale(split.ctx, rgb, rgb_stride, 0, h, dst, dst_stride);
+  return true;
+}
+
 struct EncoderChoice {
   const char* encoder;
   AVCodecID decoder_id;
@@ -250,6 +283,8 @@ struct VsmReader {
   AVCodecContext* dec = nullptr;
   int stream = -1;
   Scaler scaler;
+  Scaler split_scaler;              // RGB24 -> planar de-interleave stage
+  std::vector<uint8_t> rgb_scratch;
   AVFrame* frame = nullptr;
   AVPacket* pkt = nullptr;
   int width = 0, height = 0;
@@ -314,6 +349,45 @@ int vsm_read(void* h, uint8_t* rgb_out, int n) {
       if (avcodec_receive_frame(r->dec, r->frame) == 0) {
         frame_to_rgb(r->frame, rgb_out + (size_t)got * r->height * r->width * 3,
                      r->width, r->height, r->scaler);
+        av_frame_unref(r->frame);
+        got++;
+        continue;
+      }
+      break;
+    }
+    if (r->pkt->stream_index == r->stream)
+      avcodec_send_packet(r->dec, r->pkt);
+    av_packet_unref(r->pkt);
+  }
+  return got;
+}
+
+// Read up to n frames into a padded planar RGB buffer (the TPU serving
+// layout, kernels/fused_planar.planar_shape): out holds n consecutive
+// (3, hp, wb) u8 frames, image at [r0, r0+height) x [c0, c0+width).
+// Returns frames read (0 at EOF).
+int vsm_read_planar(void* h, uint8_t* out, int n, int hp, int wb, int r0,
+                    int c0) {
+  auto* r = (VsmReader*)h;
+  size_t fsz = (size_t)3 * hp * wb;
+  int got = 0;
+  while (got < n) {
+    int rec = avcodec_receive_frame(r->dec, r->frame);
+    if (rec == 0) {
+      frame_to_planar(r->frame, out + (size_t)got * fsz, r->width, r->height,
+                      hp, wb, r0, c0, r->scaler, r->split_scaler,
+                      r->rgb_scratch);
+      av_frame_unref(r->frame);
+      got++;
+      continue;
+    }
+    int ret = av_read_frame(r->fmt, r->pkt);
+    if (ret < 0) {
+      avcodec_send_packet(r->dec, nullptr);
+      if (avcodec_receive_frame(r->dec, r->frame) == 0) {
+        frame_to_planar(r->frame, out + (size_t)got * fsz, r->width,
+                        r->height, hp, wb, r0, c0, r->scaler,
+                        r->split_scaler, r->rgb_scratch);
         av_frame_unref(r->frame);
         got++;
         continue;

@@ -1,0 +1,120 @@
+"""Planar-u8 fused JND+upsample+blend kernel vs the NHWC fused path.
+
+Interpret mode on CPU; real-TPU exactness is covered by bench/verify drives.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from videoseal_tpu.kernels.fused_blend import fused_jnd_delta_up
+from videoseal_tpu.kernels.fused_planar import (fused_jnd_blend_planar,
+                                                pack_planar, planar_shape,
+                                                resize_planar, unpack_planar)
+
+
+def _ref_u8(imgs_u8, pred_low, si, sw):
+    """The existing (verified) u8 path: delta kernel + elementwise blend."""
+    delta = fused_jnd_delta_up(imgs_u8, pred_low, sw, interpret=True)
+    out = si * imgs_u8.astype(jnp.float32) + 255.0 * delta[..., None]
+    return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+
+
+class TestFusedPlanar:
+    @pytest.mark.parametrize("hw", [(216, 384), (200, 300)])
+    def test_matches_nhwc_path(self, hw):
+        H, W = hw
+        F, s = 2, 64
+        rng = np.random.default_rng(5)
+        imgs = jnp.asarray(rng.integers(0, 256, (F, H, W, 3)), jnp.uint8)
+        pred_low = jnp.asarray(rng.uniform(-1, 1, (F, s, s)), jnp.float32)
+
+        imgs_p = pack_planar(imgs)
+        assert imgs_p.shape == planar_shape(F, H, W)
+        got_p = fused_jnd_blend_planar(imgs_p, pred_low, 0.2, 1.0, H, W,
+                                       interpret=True)
+        got = unpack_planar(got_p, H, W)
+
+        # reference path only supports tile-divisible H; emulate with the
+        # heatmap/blend math through the delta kernel on a padded image whose
+        # extra rows do not influence rows < H (the JND window is 9x9, the
+        # pad rows are >4 away only when H is tile-divisible) -> for the
+        # non-divisible case compare against a zero-padded NHWC image and
+        # crop, which matches the planar buffer's zero padding exactly.
+        H8 = -(-H // 8) * 8
+        if H8 != H:
+            imgs_pad = jnp.zeros((F, H8, W, 3), jnp.uint8)
+            imgs_pad = imgs_pad.at[:, :H].set(imgs)
+            from videoseal_tpu.ops.resize import _resize_matrix
+            # height-resize matrix for the true H, embedded into H8 rows
+            pred_full_w = jnp.einsum(
+                "Ww,fhw->fhW",
+                jnp.asarray(_resize_matrix(s, W, antialias=True)),
+                pred_low, precision="highest")
+            mh = np.zeros((H8, s), np.float32)
+            mh[:H] = _resize_matrix(s, H, antialias=True)
+            pred_full = jnp.einsum("Hs,fsW->fHW", jnp.asarray(mh),
+                                   pred_full_w, precision="highest")
+            from videoseal_tpu.kernels.fused_blend import fused_jnd_delta
+            delta = fused_jnd_delta(imgs_pad, pred_full, 0.2, interpret=True)
+            out = 1.0 * imgs_pad.astype(jnp.float32) + 255.0 * delta[..., None]
+            ref = jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)[:, :H]
+        else:
+            ref = _ref_u8(imgs, pred_low, 1.0, 0.2)
+
+        # <=1 LSB: both paths share the math but f32 summation order in the
+        # luminance/blend can flip an exact .5 rounding
+        diff = np.abs(np.asarray(got).astype(np.int16)
+                      - np.asarray(ref).astype(np.int16))
+        assert diff.max() <= 1, f"max u8 diff {diff.max()}"
+        assert (diff > 0).mean() < 1e-3
+
+    def test_resize_planar_matches_nhwc_resize(self):
+        from videoseal_tpu.ops.resize import resize_bilinear
+        rng = np.random.default_rng(6)
+        F, H, W, s = 2, 200, 312, 64
+        imgs = jnp.asarray(rng.integers(0, 256, (F, H, W, 3)), jnp.uint8)
+        imgs_p = pack_planar(imgs)
+        got = resize_planar(imgs_p, H, W, s, s)
+        ref = resize_bilinear(imgs.astype(jnp.float32) / 255.0, s, s,
+                              precision="highest")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+class TestPlanarPipeline:
+    def test_embed_pipeline_planar_matches_nhwc(self):
+        """Full planar embed pipeline == NHWC u8 pipeline (tiny card, CPU)."""
+        import jax.numpy as jnp
+        from videoseal_tpu.train import TINY_CARD
+        from videoseal_tpu.models.embedder import build_embedder
+        from videoseal_tpu.models.videoseal import (PipelineConfig,
+                                                    embed_pipeline,
+                                                    embed_pipeline_planar)
+        from videoseal_tpu.modules.jnd import build_attenuation
+        import jax
+
+        emb = build_embedder(TINY_CARD["embedder"]["model"],
+                             TINY_CARD["embedder"]["params"], 16, 2)
+        cfg = PipelineConfig(img_size=64, yuv=emb.yuv, nbits=16, step_size=2,
+                             chunk_size=8)
+        att = build_attenuation("jnd_1_1")
+        rng = np.random.default_rng(9)
+        F, H, W = 4, 120, 200
+        imgs = jnp.asarray(rng.integers(0, 256, (F, H, W, 3)), jnp.uint8)
+        msgs = jnp.asarray(rng.integers(0, 2, (1, 16)), jnp.int32)
+        variables = emb.module.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 64, 64, 1)),
+                                    jnp.zeros((1, 16), jnp.int32))
+
+        wm_n, _ = embed_pipeline(emb.module, att, cfg, variables, imgs, msgs,
+                                 0.2, 1.0, is_video=True,
+                                 lowres_attenuation=False)
+        imgs_p = pack_planar(imgs)
+        wm_p = embed_pipeline_planar(emb.module, att, cfg, variables, imgs_p,
+                                     msgs, 0.2, 1.0, H, W, interpret=True)
+        got = np.asarray(unpack_planar(wm_p, H, W)).astype(np.int16)
+        ref = np.asarray(wm_n).astype(np.int16)
+        d = np.abs(got - ref)
+        assert d.max() <= 1, f"max u8 diff {d.max()}"
+        assert (d > 0).mean() < 1e-2

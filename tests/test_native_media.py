@@ -53,6 +53,24 @@ class TestFileIO:
         assert mse < 0.01
         r.close()
 
+    def test_read_planar_exact(self, tmp_path):
+        """Planar decode (TPU serving layout) is bit-identical to rgb24."""
+        from videoseal_tpu.kernels.fused_planar import C0, R0, planar_shape
+        fr = _frames(6, 64, 96)
+        path = str(tmp_path / "clip.mp4")
+        native.encode_file(path, fr, codec="h264", crf=18, fps=24)
+        r1 = native.VideoReader(path)
+        a = r1.read(6)
+        r1.close()
+        r2 = native.VideoReader(path)
+        b = r2.read_planar(6)
+        r2.close()
+        assert b.shape == planar_shape(6, 64, 96)
+        bp = np.transpose(b[:, :, R0:R0 + 64, C0:C0 + 96], (0, 2, 3, 1))
+        np.testing.assert_array_equal(a, bp)
+        # padding stays zero
+        assert b[:, :, :R0].max() == 0 and b[:, :, :, :C0].max() == 0
+
     def test_seek(self, tmp_path):
         fr = _frames(24, 64, 64)
         path = str(tmp_path / "clip.mp4")

@@ -39,8 +39,81 @@ def _reader(path: str, chunk_size: int, out_q: queue.Queue):
     return fps
 
 
+def _reader_planar(path: str, chunk_size: int, out_q: queue.Queue):
+    """Native decode straight into the padded planar u8 serving layout —
+    no float conversion, no interleave->planar work on device."""
+    from . import native
+    r = native.VideoReader(path)
+    while True:
+        chunk = r.read_planar(chunk_size)
+        if chunk.shape[0] == 0:
+            break
+        out_q.put(chunk)
+    out_q.put(None)
+    r.close()
+
+
+def embed_video_planar(model, input_path: str, output_path: str,
+                       chunk_size: int = 32, codec: str = "mp4v") -> dict:
+    """Planar-u8 streaming embed: native decoder fills planar buffers, ONE
+    fused Pallas pass does JND+upsample+blend per chunk, frames come back as
+    u8. Requires model.supports_planar and the native media runtime."""
+    import cv2
+    import jax
+    from .kernels.fused_planar import unpack_planar
+    from . import native
+
+    rdr = native.VideoReader(input_path)
+    h, w, fps = rdr.height, rdr.width, rdr.fps
+    rdr.close()
+
+    in_q: queue.Queue = queue.Queue(maxsize=2)
+    out_q: queue.Queue = queue.Queue(maxsize=2)
+    threading.Thread(target=_reader_planar,
+                     args=(input_path, chunk_size, in_q), daemon=True).start()
+
+    writer = cv2.VideoWriter(output_path, cv2.VideoWriter_fourcc(*codec), fps,
+                             (w, h))
+    if not writer.isOpened():
+        raise RuntimeError(f"cannot open writer for {output_path}")
+
+    def _writer():
+        while True:
+            item = out_q.get()
+            if item is None:
+                return
+            for fr in item:
+                writer.write(fr[..., ::-1])
+
+    t_write = threading.Thread(target=_writer, daemon=True)
+    t_write.start()
+
+    unpack = jax.jit(lambda p: unpack_planar(p, h, w))
+    msgs = model.get_random_msg(1)
+    n = 0
+    pending = None
+    while True:
+        chunk = in_q.get()
+        if pending is not None:
+            out_q.put(np.asarray(pending))
+            pending = None
+        if chunk is None:
+            break
+        out = model.embed_planar(chunk, h, w, msgs=msgs)
+        pending = unpack(out["imgs_w"])   # device-side transpose, u8 fetch
+        n += chunk.shape[0]
+    out_q.put(None)
+    t_write.join()
+    writer.release()
+    return {"msgs": msgs, "frames": n, "fps": fps}
+
+
 def embed_video(model, input_path: str, output_path: str, chunk_size: int = 32,
                 codec: str = "mp4v") -> dict:
+    from . import native as _native
+    if getattr(model, "supports_planar", False) and _native.available():
+        return embed_video_planar(model, input_path, output_path, chunk_size,
+                                  codec)
     import cv2
     import jax
 

@@ -268,9 +268,11 @@ def _pick_tile_delta(h: int, w: int, lum_bytes: int = 2) -> int | None:
     return None
 
 
-def _jnd_heatmap_tile(lum, th: int, w: int, wp: int):
+def _jnd_heatmap_tile(lum, th: int, w: int, wp: int, co: int = 2):
     """The JND la/cm math on one (th+8, wp) f32 luminance tile -> (th, w)
-    heatmap in [0,1] (modules/jnd.py:63-108, jnd_1_1)."""
+    heatmap in [0,1] (modules/jnd.py:63-108, jnd_1_1). Image columns sit at
+    buffer offset `co` (>= 2; zeros outside) so callers with lane-aligned
+    layouts (planar serving buffers, co=128) reuse the same math."""
     def vsum(src, n, top):
         acc = jax.lax.slice(src, (top, 0), (top + th, wp))
         for d in range(1, n):
@@ -285,8 +287,9 @@ def _jnd_heatmap_tile(lum, th: int, w: int, wp: int):
 
     col5 = vsum(lum, 5, 2)
     col3 = vsum(lum, 3, 3)
-    center = jax.lax.slice(lum, (4, 2), (4 + th, 2 + w))
-    la = (hsum(col5, 5, 0) + hsum(col3, 3, 1) - 2.0 * center) * (1.0 / 32.0)
+    center = jax.lax.slice(lum, (4, co), (4 + th, co + w))
+    la = (hsum(col5, 5, co - 2) + hsum(col3, 3, co - 1)
+          - 2.0 * center) * (1.0 / 32.0)
     lo = 17.0 * (1.0 - jnp.sqrt(la * (1.0 / 127.0) + 1e-5))
     hi = (3.0 / 128.0) * (la - 127.0) + 3.0
     la = jnp.where(la <= 127.0, lo, hi)
@@ -294,13 +297,13 @@ def _jnd_heatmap_tile(lum, th: int, w: int, wp: int):
     t = (jax.lax.slice(lum, (3, 0), (3 + th, wp))
          + 2.0 * jax.lax.slice(lum, (4, 0), (4 + th, wp))
          + jax.lax.slice(lum, (5, 0), (5 + th, wp)))
-    gx = (jax.lax.slice(t, (0, 3), (th, 3 + w))
-          - jax.lax.slice(t, (0, 1), (th, 1 + w)))
+    gx = (jax.lax.slice(t, (0, co + 1), (th, co + 1 + w))
+          - jax.lax.slice(t, (0, co - 1), (th, co - 1 + w)))
     s_diff = (jax.lax.slice(lum, (3, 0), (3 + th, wp))
               - jax.lax.slice(lum, (5, 0), (5 + th, wp)))
-    gy = (jax.lax.slice(s_diff, (0, 1), (th, 1 + w))
-          + 2.0 * jax.lax.slice(s_diff, (0, 2), (th, 2 + w))
-          + jax.lax.slice(s_diff, (0, 3), (th, 3 + w)))
+    gy = (jax.lax.slice(s_diff, (0, co - 1), (th, co - 1 + w))
+          + 2.0 * jax.lax.slice(s_diff, (0, co), (th, co + w))
+          + jax.lax.slice(s_diff, (0, co + 1), (th, co + 1 + w)))
     cm2 = gx * gx + gy * gy
     cm = jnp.sqrt(cm2)
     cm = 16.0 * jnp.exp(jnp.log(jnp.maximum(cm, 1e-20)) * 2.4) / (cm2 + 676.0)

@@ -1,0 +1,230 @@
+"""Pallas TPU kernel: planar-u8 fused JND + upsample + blend (serving path).
+
+The endgame for the full-resolution embedding stage (the reference does it as
+several full-res passes: luminance, JND convs, heatmap x prediction, blend,
+clamp — modules/jnd.py:80-114 + models/videoseal.py:333-344). The NHWC u8
+path already fuses the JND math (fused_blend.fused_jnd_delta_up) but still
+pays for a full-res f32 luminance materialization, a full-res f32 delta
+write, and an XLA blend pass over it — ~40 MB of HBM traffic per frame.
+
+This kernel instead works on PLANAR RGB uint8 frames in a padded-stride
+layout (what a production decoder writes directly: planar output is a free
+flag on libswscale, and video is stored planar in every codec anyway). ONE
+pass per tile:
+
+  read 3 u8 planes (+ the halo rows) and the low-res prediction band
+  -> luminance + JND heatmap in VMEM (f32)
+  -> prediction upsample as a banded height-lift matmul (MXU)
+  -> per-plane u8 blend + round + clamp
+  -> write 3 u8 planes
+
+HBM traffic/frame @1080p: ~9.5 MB read + 6.3 MB write (vs ~40 MB for the
+NHWC path) — the stage becomes DMA-bound at the u8 image size itself.
+
+Layout (``planar_shape``): image rows at [R0, R0+H), image cols at
+[C0, C0+W), zeros elsewhere. R0=28 so each 64-row output tile reads one
+32-aligned 96-row u8 slice (Mosaic: u8 DMA starts must honor (32,128)
+tiling); C0=128 keeps the 2-col JND halo inside the buffer with lane-aligned
+DMAs. Parity: fused_blend.fused_jnd_delta_up composed with the elementwise
+u8 blend (tests/test_fused_planar.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_blend import _jnd_heatmap_tile
+
+R0 = 28          # top pad rows (>= 4 halo; chosen so tile reads stay aligned)
+C0 = 128         # left pad cols (lane-aligned, >= 2 halo)
+TH = 64          # output rows per tile (multiple of 32: u8 sublane tiling)
+TIN = 96         # input rows per tile DMA (covers TH + 8 halo, multiple of 32)
+
+
+def planar_geometry(h: int, w: int):
+    """(n_tiles, padded_h, padded_w, wq) for an HxW image."""
+    n_tiles = -(-h // TH)
+    hp = TH * n_tiles + (TIN - TH)       # last tile reads (n-1)*TH .. +TIN
+    wq = -(-w // 128) * 128
+    return n_tiles, hp, wq + 2 * C0, wq
+
+
+def planar_shape(f: int, h: int, w: int) -> tuple[int, int, int, int]:
+    """Buffer shape (F, 3, Hp, Wb) for F HxW frames."""
+    _, hp, wb, _ = planar_geometry(h, w)
+    return (f, 3, hp, wb)
+
+
+def pack_planar(imgs: np.ndarray | jnp.ndarray) -> jnp.ndarray:
+    """(F, H, W, 3) u8 NHWC -> padded planar (F, 3, Hp, Wb) u8 (tests/compat;
+    production decoders fill the planar buffer directly)."""
+    f, h, w, _ = imgs.shape
+    _, hp, wb, _ = planar_geometry(h, w)
+    out = jnp.zeros((f, 3, hp, wb), jnp.uint8)
+    return out.at[:, :, R0:R0 + h, C0:C0 + w].set(
+        jnp.transpose(jnp.asarray(imgs), (0, 3, 1, 2)))
+
+
+def unpack_planar(imgs_p: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Kernel output (F, 3, Ho, Wq) u8 -> (F, H, W, 3) u8 NHWC."""
+    return jnp.transpose(imgs_p[:, :, :h, :w], (0, 2, 3, 1))
+
+
+def _blend_planar_kernel(si_ref, sw_ref, img_hbm, tmp_hbm, mh_ref, out_ref,
+                         img_vmem, tmp_vmem, sem_img, sem_tmp, *, wq: int,
+                         wb: int, band: int, in_h: int, out_h: int,
+                         n_tiles: int, n_steps: int):
+    i = pl.program_id(1)
+    step = pl.program_id(0) * n_tiles + i
+    slot = jax.lax.rem(step, 2)
+    nxt = jax.lax.rem(step + 1, 2)
+
+    def band_start(ts):
+        # 8-aligned start (clip in units of 8, multiply LAST so Mosaic can
+        # prove divisibility — see fused_jnd_delta_up). Must mirror the
+        # host-side mh band packing exactly (same out_h = true image height).
+        s8 = jax.lax.div(jax.lax.div(ts * TH * in_h, out_h) - 1, 8)
+        s8 = jnp.clip(s8, 0, (in_h - band) // 8)
+        return s8 * 8
+
+    def dma_img(s, sl):
+        fs = jax.lax.div(s, n_tiles)
+        ts = jax.lax.rem(s, n_tiles)
+        return pltpu.make_async_copy(
+            img_hbm.at[fs, :, pl.ds(ts * TH, TIN)], img_vmem.at[sl],
+            sem_img.at[sl])
+
+    def dma_tmp(s, sl):
+        fs = jax.lax.div(s, n_tiles)
+        ts = jax.lax.rem(s, n_tiles)
+        return pltpu.make_async_copy(
+            tmp_hbm.at[fs, pl.ds(band_start(ts), band)], tmp_vmem.at[sl],
+            sem_tmp.at[sl])
+
+    @pl.when(step == 0)
+    def _():
+        dma_img(step, slot).start()
+        dma_tmp(step, slot).start()
+
+    @pl.when(step + 1 < n_steps)
+    def _():
+        dma_img(step + 1, nxt).start()
+        dma_tmp(step + 1, nxt).start()
+
+    dma_img(step, slot).wait()
+    dma_tmp(step, slot).wait()
+
+    # Mosaic has no direct u8<->f32 casts; hop through i32 (exact)
+    r = img_vmem[slot, 0].astype(jnp.int32).astype(jnp.float32)
+    g = img_vmem[slot, 1].astype(jnp.int32).astype(jnp.float32)
+    b = img_vmem[slot, 2].astype(jnp.int32).astype(jnp.float32)
+    lum = 0.299 * r + 0.587 * g + 0.114 * b          # (TIN, Wb), 0..255
+    lum = jax.lax.slice(lum, (R0 - 4, 0), (R0 - 4 + TH + 8, wb))
+    heat = _jnd_heatmap_tile(lum, TH, wq, wb, co=C0)  # (TH, wq) in [0,1]
+
+    pred = jnp.dot(mh_ref[i], tmp_vmem[slot],
+                   preferred_element_type=jnp.float32)   # (TH, wq)
+    delta = (255.0 * sw_ref[0] * heat) * pred
+    si = si_ref[0]
+    for c, plane in enumerate((r, g, b)):
+        v = jax.lax.slice(plane, (R0, C0), (R0 + TH, C0 + wq))
+        out_ref[0, c] = jnp.clip(jnp.round(si * v + delta), 0.0, 255.0
+                                 ).astype(jnp.int32).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
+def fused_jnd_blend_planar(imgs_p: jnp.ndarray, pred_low: jnp.ndarray,
+                           scaling_w, scaling_i, h: int, w: int,
+                           interpret: bool = False) -> jnp.ndarray:
+    """imgs_p: padded planar (F, 3, Hp, Wb) uint8 (see planar_shape);
+    pred_low: (F, s, s) watermark prediction at processing resolution;
+    h/w: the true image dims (static). Returns (F, 3, TH*n_tiles, Wq) uint8
+    planar watermarked frames (image at [:h, :w]; rows/cols beyond are junk
+    from the zero padding — crop or fold the offset into downstream resizes).
+
+    out = clip(round(si*img + 255*sw*jnd_heatmap(img)*upsample(pred)), 0, 255)
+    """
+    from ..ops.resize import _resize_matrix
+
+    f, c, hp, wb = imgs_p.shape
+    n_tiles, hp_want, wb_want, wq = planar_geometry(h, w)
+    assert (c, hp, wb) == (3, hp_want, wb_want), \
+        f"buffer {imgs_p.shape} does not match planar_shape for {h}x{w}"
+    s = pred_low.shape[-1]
+    band = -(-(TH * s) // h) + 3 + 7
+    band = max(-(-band // 8) * 8, 8)
+    band = min(band, s)
+
+    # width resize at low height: (s -> W) as one MXU matmul
+    mw = jnp.asarray(_resize_matrix(s, w, antialias=True), jnp.float32)
+    tmp = jnp.einsum("Ww,fhw->fhW", mw, pred_low.astype(jnp.float32),
+                     precision="highest")
+    if wq != w:
+        tmp = jnp.pad(tmp, ((0, 0), (0, 0), (0, wq - w)))
+
+    # banded height-lift matrices per tile (rows >= h are zero)
+    mh_full = np.zeros((TH * n_tiles, s), np.float32)
+    mh_full[:h] = _resize_matrix(s, h, antialias=True)
+    mh_packed = np.zeros((n_tiles, TH, band), np.float32)
+    for i in range(n_tiles):
+        start = min(max((i * TH * s // h - 1) // 8 * 8, 0), s - band)
+        rows = mh_full[i * TH:(i + 1) * TH]
+        nz = np.nonzero(rows)[1]
+        if nz.size:
+            assert nz.min() >= start and nz.max() < start + band, \
+                f"height-lift band too narrow at tile {i}"
+        mh_packed[i] = rows[:, start:start + band]
+    mh = jnp.asarray(mh_packed)
+
+    kern = functools.partial(_blend_planar_kernel, wq=wq, wb=wb, band=band,
+                             in_h=s, out_h=h, n_tiles=n_tiles,
+                             n_steps=f * n_tiles)
+    si = jnp.reshape(jnp.asarray(scaling_i, jnp.float32), (1,))
+    sw = jnp.reshape(jnp.asarray(scaling_w, jnp.float32), (1,))
+    return pl.pallas_call(
+        kern,
+        grid=(f, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),       # u8 planes (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),       # width-resized pred
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # mh bands, resident
+        ],
+        out_specs=pl.BlockSpec((1, 3, TH, wq), lambda fi, i: (fi, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((f, 3, TH * n_tiles, wq), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, TIN, wb), jnp.uint8),
+            pltpu.VMEM((2, band, wq), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(si, sw, imgs_p, tmp, mh)
+
+
+def resize_planar(imgs_p: jnp.ndarray, h: int, w: int, out_h: int, out_w: int,
+                  r0: int = R0, c0: int = C0,
+                  precision: str = "highest") -> jnp.ndarray:
+    """Bilinear+antialias resize straight out of a padded planar buffer:
+    (F, 3, Hp, Wb) u8 -> (F, out_h, out_w, 3) f32 in [0, 1]. The row/col
+    offsets are folded into the resize matrices (zero-cost: the matmul just
+    reads the padded axes), so no slice copy of the full-res frame is made."""
+    from ..ops.resize import _resize_matrix
+
+    f, c, hp, wb = imgs_p.shape
+    mh = np.zeros((out_h, hp), np.float32)
+    mh[:, r0:r0 + h] = _resize_matrix(h, out_h, antialias=True)
+    mw = np.zeros((out_w, wb), np.float32)
+    mw[:, c0:c0 + w] = _resize_matrix(w, out_w, antialias=True)
+    x = imgs_p.astype(jnp.float32) * (1.0 / 255.0)
+    y = jnp.einsum("Hh,fchw->fcHw", jnp.asarray(mh), x, precision=precision)
+    y = jnp.einsum("Ww,fchw->fchW", jnp.asarray(mw), y, precision=precision)
+    return jnp.transpose(y, (0, 2, 3, 1))

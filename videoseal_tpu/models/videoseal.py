@@ -121,28 +121,17 @@ def _chunked_apply(fn, xs, chunk_size: int):
     return jax.tree_util.tree_map(lambda a: a.reshape(-1, *a.shape[2:])[:n], ys)
 
 
-def embed_pipeline(embedder, attenuation: JND | None, cfg: PipelineConfig,
-                   variables, imgs, msgs, scaling_w, scaling_i,
-                   is_video: bool, lowres_attenuation: bool):
-    """Shared embed path (wam.py:134-204 / videoseal.py:258-350).
-
-    imgs: (B|F, H, W, 3); msgs: (B, nbits) for images, (1, nbits) for video.
-    Returns (imgs_w, preds_w_fullres).
-    """
-    h, w = imgs.shape[-3], imgs.shape[-2]
-    s = cfg.img_size
+def _make_run_embedder(embedder, cfg: PipelineConfig, variables,
+                       pre_scale: float | None = None):
+    """Embedder forward closure shared by the NHWC and planar pipelines:
+    optional input rescale -> YUV-Y select -> compute-dtype cast -> plain /
+    fused / space-to-depth UNet apply."""
     cdtype = jnp.dtype(cfg.compute_dtype)
-    # uint8 frames are first-class (production video is rgb24, exactly what
-    # the reference's streaming pipe carries — inference_streaming.py:52-75):
-    # full-res reads/writes stay 1 byte/channel; float conversion happens
-    # after downscale or fused into the elementwise blend.
-    is_u8 = not jnp.issubdtype(imgs.dtype, jnp.floating)
-    u8_scale = 255.0 if is_u8 else 1.0
 
     def run_embedder(inp_msgs):
         inp, m = inp_msgs
-        if is_u8:
-            inp = inp * (1.0 / 255.0)
+        if pre_scale is not None:
+            inp = inp * pre_scale
         x = rgb_to_y(inp) if cfg.yuv else inp
         x = x.astype(cdtype)
         if cfg.fused_embedder:
@@ -166,6 +155,29 @@ def embed_pipeline(embedder, attenuation: JND | None, cfg: PipelineConfig,
                     variables["params"], variables.get("batch_stats", {}), x, m,
                     **kwargs)
         return embedder.apply(variables, x, m)
+
+    return run_embedder
+
+
+def embed_pipeline(embedder, attenuation: JND | None, cfg: PipelineConfig,
+                   variables, imgs, msgs, scaling_w, scaling_i,
+                   is_video: bool, lowres_attenuation: bool):
+    """Shared embed path (wam.py:134-204 / videoseal.py:258-350).
+
+    imgs: (B|F, H, W, 3); msgs: (B, nbits) for images, (1, nbits) for video.
+    Returns (imgs_w, preds_w_fullres).
+    """
+    h, w = imgs.shape[-3], imgs.shape[-2]
+    s = cfg.img_size
+    cdtype = jnp.dtype(cfg.compute_dtype)
+    # uint8 frames are first-class (production video is rgb24, exactly what
+    # the reference's streaming pipe carries — inference_streaming.py:52-75):
+    # full-res reads/writes stay 1 byte/channel; float conversion happens
+    # after downscale or fused into the elementwise blend.
+    is_u8 = not jnp.issubdtype(imgs.dtype, jnp.floating)
+    u8_scale = 255.0 if is_u8 else 1.0
+    run_embedder = _make_run_embedder(
+        embedder, cfg, variables, pre_scale=(1.0 / 255.0 if is_u8 else None))
 
     if is_video:
         # resize only the key frames unless the lowres-attenuation path needs
@@ -244,11 +256,15 @@ def embed_pipeline(embedder, attenuation: JND | None, cfg: PipelineConfig,
 def detect_pipeline(extractor, cfg: PipelineConfig, variables, imgs):
     """Shared detect path (wam.py:206-234 / videoseal.py:352-388)."""
     s = cfg.img_size
-    cdtype = jnp.dtype(cfg.compute_dtype)
     imgs_res = resize_bilinear(imgs, s, s, precision=cfg.resize_precision)
     if not jnp.issubdtype(imgs.dtype, jnp.floating):  # uint8 video buffers
         imgs_res = imgs_res * (1.0 / 255.0)
+    return _detect_resized(extractor, cfg, variables, imgs_res)
 
+
+def _detect_resized(extractor, cfg: PipelineConfig, variables, imgs_res):
+    """Extractor over proc-res [0,1] frames (plain or fused ConvNeXt)."""
+    cdtype = jnp.dtype(cfg.compute_dtype)
     from .extractor import ConvnextExtractor
 
     def run(x):
@@ -268,6 +284,50 @@ def detect_pipeline(extractor, cfg: PipelineConfig, variables, imgs):
         return extractor.apply(variables, x).astype(jnp.float32)
 
     return _chunked_apply(run, imgs_res, cfg.chunk_size)
+
+
+def embed_pipeline_planar(embedder, attenuation: JND | None,
+                          cfg: PipelineConfig, variables, imgs_p, msgs,
+                          scaling_w, scaling_i, h: int, w: int,
+                          interpret: bool = False):
+    """Planar-u8 video serving embed: the production fast path.
+
+    imgs_p: (F, 3, Hp, Wb) uint8 padded planar frames
+    (kernels/fused_planar.planar_shape) — the layout a decoder writes
+    directly. Key frames are resized straight out of the planar buffer
+    (offsets folded into the resize matmuls), the full-res JND + prediction
+    upsample + blend run as ONE Pallas pass over u8 planes. Returns planar
+    watermarked frames (F, 3, ceil(h/64)*64, ceil(w/128)*128) u8.
+
+    Requires: jnd_1_1-style attenuation, additive blending, 1-channel
+    prediction (the production card family) — asserted.
+    """
+    from ..kernels.fused_planar import fused_jnd_blend_planar, resize_planar
+
+    assert attenuation is not None and cfg.blending_method == "additive"
+    s = cfg.img_size
+    run_embedder = _make_run_embedder(embedder, cfg, variables)
+    keys = resize_planar(imgs_p[::cfg.step_size], h, w, s, s,
+                         precision=cfg.resize_precision)   # (K, s, s, 3) [0,1]
+    key_msgs = jnp.broadcast_to(msgs[:1], (keys.shape[0], msgs.shape[-1]))
+    preds = _chunked_apply(run_embedder, (keys, key_msgs), cfg.chunk_size)
+    preds = _expand_video_mode(preds, imgs_p.shape[0], cfg.step_size,
+                               cfg.video_mode).astype(jnp.float32)
+    assert preds.shape[-1] == 1, "planar path expects a 1-channel prediction"
+    return fused_jnd_blend_planar(imgs_p, preds[..., 0], scaling_w, scaling_i,
+                                  h, w, interpret=interpret)
+
+
+def detect_pipeline_planar(extractor, cfg: PipelineConfig, variables, imgs_wp,
+                           h: int, w: int):
+    """Detect over planar watermarked output (embed_pipeline_planar's
+    layout: image at rows [0, h), cols [0, w))."""
+    from ..kernels.fused_planar import resize_planar
+
+    s = cfg.img_size
+    imgs_res = resize_planar(imgs_wp, h, w, s, s, r0=0, c0=0,
+                             precision=cfg.resize_precision)
+    return _detect_resized(extractor, cfg, variables, imgs_res)
 
 
 def aggregate_message(preds: jnp.ndarray, aggregation: str = "avg"):
@@ -355,6 +415,37 @@ class VideoSeal:
     def detect(self, imgs, is_video: bool = False) -> dict:
         """imgs: (B|F, H, W, 3) -> preds (B|F, 1+nbits[, H, W])."""
         preds = self._detect_fn(self.extractor_vars, jnp.asarray(imgs))
+        return {"preds": preds}
+
+    # -- planar-u8 serving fast path --------------------------------------
+    @property
+    def supports_planar(self) -> bool:
+        """Can the padded-planar u8 video path be used? (jnd attenuation,
+        additive blending, 1-channel prediction — the production cards)."""
+        return (self.attenuation is not None
+                and self.cfg.blending_method == "additive"
+                and self.embedder_spec.out_channels == 1)
+
+    def embed_planar(self, imgs_p, h: int, w: int, msgs=None) -> dict:
+        """Video embed over padded planar RGB u8 frames
+        (kernels/fused_planar.planar_shape; what native.VideoReader
+        .read_planar returns). Returns planar watermarked frames — one fused
+        Pallas pass does JND + prediction upsample + blend on u8 planes."""
+        imgs_p = jnp.asarray(imgs_p)
+        if msgs is None:
+            msgs = self.get_random_msg(1)
+        msgs = jnp.asarray(msgs)
+        imgs_w = embed_pipeline_planar(
+            self.embedder_spec.module, self.attenuation, self.cfg,
+            self.embedder_vars, imgs_p, msgs, jnp.float32(self.scaling_w),
+            jnp.float32(self.scaling_i), h, w)
+        return {"imgs_w": imgs_w, "msgs": msgs}
+
+    def detect_planar(self, imgs_wp, h: int, w: int) -> dict:
+        """Detect over embed_planar output."""
+        preds = detect_pipeline_planar(self.extractor_spec.module, self.cfg,
+                                       self.extractor_vars,
+                                       jnp.asarray(imgs_wp), h, w)
         return {"preds": preds}
 
     def extract_message(self, imgs, aggregation: str = "avg") -> jnp.ndarray:

@@ -45,6 +45,8 @@ def _load():
             lib.vsm_open.argtypes = [ctypes.c_char_p]
             lib.vsm_info.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 4
             lib.vsm_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+            lib.vsm_read_planar.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+            lib.vsm_read_planar.argtypes += [ctypes.c_int] * 5
             lib.vsm_seek_frame.argtypes = [ctypes.c_void_p, ctypes.c_int64]
             lib.vsm_close.argtypes = [ctypes.c_void_p]
             lib.vsm_encode_file.argtypes = [
@@ -120,6 +122,18 @@ class VideoReader:
     def read(self, n: int) -> np.ndarray:
         buf = np.empty((n, self.height, self.width, 3), np.uint8)
         got = self._lib.vsm_read(self._h, buf.ctypes.data_as(ctypes.c_void_p), n)
+        return buf[:got]
+
+    def read_planar(self, n: int) -> np.ndarray:
+        """Decode straight into the TPU serving layout (padded planar RGB,
+        kernels/fused_planar.planar_shape): zero extra copies vs rgb24 —
+        libswscale writes the planes at the padded offsets directly."""
+        from ..kernels.fused_planar import C0, R0, planar_shape
+        shape = planar_shape(n, self.height, self.width)
+        buf = np.zeros(shape, np.uint8)
+        got = self._lib.vsm_read_planar(
+            self._h, buf.ctypes.data_as(ctypes.c_void_p), n,
+            shape[2], shape[3], R0, C0)
         return buf[:got]
 
     def seek(self, frame_idx: int) -> None:

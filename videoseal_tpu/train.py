@@ -31,7 +31,9 @@ def get_parser():
     p.add_argument("--extractor_model", default=None,
                    help="preset from configs/extractor.yaml (overrides card)")
     p.add_argument("--nbits", type=int, default=None)
-    p.add_argument("--img_size", type=int, default=256)
+    p.add_argument("--img_size", type=int, default=None,
+                   help="processing resolution (overrides the card's "
+                        "img_size_proc when given)")
     p.add_argument("--scaling_w", type=float, default=0.2)
     p.add_argument("--scaling_w_schedule", default=None,
                    help='e.g. "Cosine,scaling_min=0.2,start_epoch=200,epochs=200"')
@@ -83,6 +85,10 @@ def get_parser():
                         "shard writes; resharding resume)")
     p.add_argument("--distributed", type=int, default=0,
                    help="call jax.distributed.initialize() (multi-host)")
+    p.add_argument("--cpu", type=int, default=0,
+                   help="pin everything to host CPU devices (debug runs that "
+                        "must not touch the TPU; the axon plugin ignores "
+                        "JAX_PLATFORMS=cpu so this pins jax_default_device)")
     return p
 
 
@@ -147,6 +153,8 @@ def main(args=None):
 
     if args.distributed:
         jax.distributed.initialize()
+    if args.cpu:
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
     from .augmentation.augmenter import build_augmenter
     from .losses.videosealloss import VideoSealLoss
@@ -167,7 +175,7 @@ def main(args=None):
     card = TINY_CARD if args.tiny else load_card(args.card)
     cargs = card["args"]
     nbits = args.nbits or int(cargs.get("nbits", 256))
-    img_size = int(cargs.get("img_size_proc", args.img_size))
+    img_size = int(args.img_size or cargs.get("img_size_proc", 256))
 
     # preset overrides (parity: --embedder_model/--extractor_model flags,
     # resolved against configs/{embedder,extractor}.yaml)
@@ -248,7 +256,7 @@ def main(args=None):
                                     process_index=jax.process_index(),
                                     process_count=jax.process_count())
 
-    mesh = pmesh.make_mesh()
+    mesh = pmesh.make_mesh(devices=jax.devices("cpu") if args.cpu else None)
 
     def build_steps(mode):
         fns = {"img": make_train_step(mods, opt_g, opt_d, is_video=False, mode=mode)}
@@ -289,12 +297,18 @@ def main(args=None):
                 key, k = jax.random.split(key)
                 batch = pmesh.shard_batch(mesh, batch)
                 state, logs = step_fns[modality](state, batch, k)
-                logger.update(**{k2: float(v) for k2, v in logs.items()})
-                if it % 10 == 0 and jax.process_index() == 0:
-                    line = logger.line(prefix=f"step {it}/{total_steps} [{modality}]")
-                    print(line, flush=True)
-                    with open(log_path, "a") as f:
-                        f.write(json.dumps({"step": it, **logger.recent()}) + "\n")
+                # Fetch logs only on log steps: a per-step host readback costs
+                # a full tunnel RTT and serializes the dispatch pipeline.
+                if it % 10 == 0:
+                    logger.update(**{k2: float(v) for k2, v in
+                                     jax.device_get(logs).items()})
+                    if jax.process_index() == 0:
+                        line = logger.line(
+                            prefix=f"step {it}/{total_steps} [{modality}]")
+                        print(line, flush=True)
+                        with open(log_path, "a") as f:
+                            f.write(json.dumps({"step": it, **logger.recent()})
+                                    + "\n")
                 it += 1
             epoch += 1
             if epoch % args.saveckpt_freq == 0:
