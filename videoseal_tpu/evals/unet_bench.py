@@ -1,0 +1,109 @@
+"""Per-level UNet serving-forward timing (perf tool).
+
+Splits unet_apply_fused (kernels/unet_fused.py) into encoder / bottleneck /
+decoder stages and times each with the hoist-proof chained harness, on the
+flagship card's real (BN-folded) parameters at 32 key frames — the exact
+serving shapes bench.py exercises.
+
+Run: python -m videoseal_tpu.evals.unet_bench [--keys 32] [--dtype bfloat16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--keys", type=int, default=32)
+    ap.add_argument("--card", default="videoseal_1.0")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--k", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import videoseal_tpu as vs
+    from ..kernels.unet_fused import _conv, _resnet_block, _upsample
+    from ..modules.common import get_activation
+    from .stage_bench import time_stage, _perturb
+
+    model = vs.load(args.card).with_dtype(args.dtype)
+    u = model.embedder_spec.module.unet
+    mults = tuple(u["z_channels_mults"])
+    num_blocks = u.get("num_blocks", 8)
+    normalization = u.get("normalization", "batch")
+    act = get_activation(u.get("activation", "relu"))
+    hidden = model.embedder_spec.module.hidden_size
+    p = model.embedder_vars["params"]["unet"]
+    s = model.embedder_vars.get("batch_stats", {}).get("unet", {})
+    n_levels = len(mults)
+    sdim = model.cfg.img_size
+    K = args.keys
+    cdtype = jnp.dtype(args.dtype)
+
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.uniform(-1, 1, (K, sdim, sdim, 1)), cdtype)
+
+    def encoder(x, eps):
+        x = _perturb(x, eps)
+        x = _resnet_block(x, p["inc"], s.get("inc", {}), normalization, act)
+        hiddens = [x]
+        for i in range(n_levels - 1):
+            d = p[f"downs_{i}"]
+            ds = s.get(f"downs_{i}", {})
+            y = _conv(hiddens[-1], d["down"]["kernel"], d["down"]["bias"],
+                      stride=2)
+            y = _resnet_block(y, d["conv"], ds.get("conv", {}), normalization,
+                              act)
+            hiddens.append(y)
+        return hiddens
+
+    hiddens = jax.jit(lambda x: encoder(x, 0.0))(x0)
+    lat = hiddens[-1]
+
+    emb = jnp.asarray(rng.normal(0, 1, (K, hidden)), cdtype)
+
+    def bottleneck(args_, eps):
+        lat_, emb_ = args_
+        lat_ = _perturb(lat_, eps)
+        emb_map = jnp.broadcast_to(emb_[:, None, None, :],
+                                   lat_.shape[:-1] + (hidden,))
+        y = jnp.concatenate([lat_, emb_map], axis=-1)
+        for j in range(num_blocks):
+            y = _resnet_block(y, p[f"bottleneck_{j}"],
+                              s.get(f"bottleneck_{j}", {}), normalization, act)
+        return y
+
+    y0 = jax.jit(lambda a: bottleneck(a, 0.0))((lat, emb))
+
+    def decoder(args_, eps):
+        y, hs = args_
+        y = _perturb(y, eps)
+        scale = 2 ** -0.5
+        hs = list(hs)
+        for i in range(n_levels - 1):
+            y = jnp.concatenate([y, hs.pop() * scale], axis=-1)
+            up = p[f"ups_{i}"]
+            us = s.get(f"ups_{i}", {})
+            y = _upsample(y, up["up"], act)
+            y = _resnet_block(y, up["conv"], us.get("conv", {}), normalization,
+                              act)
+        y = _conv(y, p["outc"]["kernel"], p["outc"]["bias"], padding=0)
+        return jnp.tanh(y)
+
+    for name, fn, a in (
+            ("encoder", encoder, x0),
+            ("bottleneck", bottleneck, (lat, emb)),
+            ("decoder", decoder, (y0, hiddens[:-1])),
+    ):
+        dt = time_stage(fn, a, args.k)
+        print(json.dumps({"stage": name, "ms": round(dt * 1e3, 2),
+                          "per_key_us": round(dt * 1e6 / K, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
