@@ -62,23 +62,26 @@ def main():
             hiddens.append(y)
         return hiddens
 
-    hiddens = jax.jit(lambda x: encoder(x, 0.0))(x0)
+    hiddens = jax.jit(lambda x: encoder(x, jnp.float32(0.0)))(x0)
     lat = hiddens[-1]
 
     emb = jnp.asarray(rng.normal(0, 1, (K, hidden)), cdtype)
 
-    def bottleneck(args_, eps):
-        lat_, emb_ = args_
-        lat_ = _perturb(lat_, eps)
+    def _pre(lat_, emb_):
         emb_map = jnp.broadcast_to(emb_[:, None, None, :],
                                    lat_.shape[:-1] + (hidden,))
-        y = jnp.concatenate([lat_, emb_map], axis=-1)
+        return jnp.concatenate([lat_, emb_map], axis=-1)
+
+    def bottleneck(args_, eps):
+        lat_, emb_ = args_
+        y = _perturb(_pre(lat_, emb_), eps)
         for j in range(num_blocks):
             y = _resnet_block(y, p[f"bottleneck_{j}"],
                               s.get(f"bottleneck_{j}", {}), normalization, act)
         return y
 
-    y0 = jax.jit(lambda a: bottleneck(a, 0.0))((lat, emb))
+    y_pre = jax.jit(_pre)(lat, emb)
+    y0 = jax.jit(lambda a: bottleneck(a, jnp.float32(0.0)))((lat, emb))
 
     def decoder(args_, eps):
         y, hs = args_
@@ -98,7 +101,7 @@ def main():
     for name, fn, a in (
             ("encoder", encoder, x0),
             ("bottleneck", bottleneck, (lat, emb)),
-            ("decoder", decoder, (y0, hiddens[:-1])),
+            ("decoder", decoder, (y0, hiddens[:-1] + [y_pre])),
     ):
         dt = time_stage(fn, a, args.k)
         print(json.dumps({"stage": name, "ms": round(dt * 1e3, 2),
