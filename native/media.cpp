@@ -461,6 +461,8 @@ int vsm_encode_file(const char* path, const uint8_t* rgb, int nframes, int h,
   auto drain = [&]() {
     while (avcodec_receive_packet(ec, pkt) == 0) {
       av_packet_rescale_ts(pkt, ec->time_base, st->time_base);
+      if (pkt->duration == 0)  // mp4: duration must cover the last frame
+        pkt->duration = av_rescale_q(1, ec->time_base, st->time_base);
       pkt->stream_index = st->index;
       av_interleaved_write_frame(fmt, pkt);
       av_packet_unref(pkt);
@@ -482,6 +484,145 @@ int vsm_encode_file(const char* path, const uint8_t* rgb, int nframes, int h,
   avcodec_free_context(&ec);
   avformat_free_context(fmt);
   return nframes;
+}
+
+// ---------------------------------------------------------------------------
+// Incremental encoder: open once, write frame batches as they are produced
+// (streaming watermark embedding writes chunks while the device computes the
+// next one — replaces inference_streaming.py's cv2.VideoWriter with libx264
+// at a controlled crf, matching the reference's ffmpeg writer pipe).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct VsmEncoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* ec = nullptr;
+  AVStream* st = nullptr;
+  AVFrame* frame = nullptr;
+  AVPacket* pkt = nullptr;
+  Scaler sc;
+  int w = 0, h = 0;
+  int64_t pts = 0;
+};
+
+void enc_drain(VsmEncoder* e) {
+  while (avcodec_receive_packet(e->ec, e->pkt) == 0) {
+    av_packet_rescale_ts(e->pkt, e->ec->time_base, e->st->time_base);
+    if (e->pkt->duration == 0)  // else the mp4 duration stops at the last
+      e->pkt->duration =        // frame's PTS and decoders drop that frame
+          av_rescale_q(1, e->ec->time_base, e->st->time_base);
+    e->pkt->stream_index = e->st->index;
+    av_interleaved_write_frame(e->fmt, e->pkt);
+    av_packet_unref(e->pkt);
+  }
+}
+
+}  // namespace
+
+void* vsm_enc_open(const char* path, int w, int h, const char* codec_name,
+                   int crf, int fps) {
+  EncoderChoice ch;
+  if (!pick_codec(codec_name ? codec_name : "h264", &ch)) {
+    set_error(std::string("codec unavailable: ") + codec_name);
+    return nullptr;
+  }
+  auto* e = new VsmEncoder();
+  avformat_alloc_output_context2(&e->fmt, nullptr, nullptr, path);
+  if (!e->fmt) { set_error("cannot alloc output"); delete e; return nullptr; }
+  const AVCodec* enc = avcodec_find_encoder_by_name(ch.encoder);
+  e->st = avformat_new_stream(e->fmt, nullptr);
+  e->ec = avcodec_alloc_context3(enc);
+  e->w = w; e->h = h;
+  e->ec->width = w;
+  e->ec->height = h;
+  e->ec->time_base = AVRational{1, fps > 0 ? fps : 24};
+  e->ec->framerate = AVRational{fps > 0 ? fps : 24, 1};
+  e->ec->pix_fmt = ch.pix_fmt;
+  e->ec->gop_size = 12;
+  e->ec->max_b_frames = 0;  // streaming writer: no reorder delay
+  if (e->fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    e->ec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  char crfs[16];
+  snprintf(crfs, sizeof crfs, "%d", crf);
+  av_opt_set(e->ec->priv_data, "crf", crfs, 0);
+  if (avcodec_open2(e->ec, enc, nullptr) < 0) {
+    set_error("enc open failed");
+    delete e;
+    return nullptr;
+  }
+  avcodec_parameters_from_context(e->st->codecpar, e->ec);
+  e->st->time_base = e->ec->time_base;
+  if (!(e->fmt->oformat->flags & AVFMT_NOFILE))
+    if (avio_open(&e->fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
+      set_error("cannot open file");
+      delete e;
+      return nullptr;
+    }
+  if (avformat_write_header(e->fmt, nullptr) < 0) {
+    set_error("write_header failed");
+    delete e;
+    return nullptr;
+  }
+  e->frame = av_frame_alloc();
+  e->frame->format = e->ec->pix_fmt;
+  e->frame->width = w;
+  e->frame->height = h;
+  av_frame_get_buffer(e->frame, 0);
+  e->pkt = av_packet_alloc();
+  return e;
+}
+
+int vsm_enc_write(void* h_, const uint8_t* rgb, int n) {
+  auto* e = (VsmEncoder*)h_;
+  for (int i = 0; i < n; i++) {
+    av_frame_make_writable(e->frame);
+    rgb_to_frame(rgb + (size_t)i * e->h * e->w * 3, e->w, e->h, e->frame,
+                 e->ec->pix_fmt, e->sc);
+    e->frame->pts = e->pts++;
+    avcodec_send_frame(e->ec, e->frame);
+    enc_drain(e);
+  }
+  return n;
+}
+
+// Write frames straight from the padded planar RGB layout (the embed
+// kernel's output): one sws pass GBRP -> encoder pix_fmt, no interleave.
+int vsm_enc_write_planar(void* h_, const uint8_t* buf, int n, int hp, int wb,
+                         int r0, int c0) {
+  auto* e = (VsmEncoder*)h_;
+  size_t plane = (size_t)hp * wb;
+  for (int i = 0; i < n; i++) {
+    const uint8_t* base = buf + (size_t)3 * i * plane + (size_t)r0 * wb + c0;
+    const uint8_t* src[3] = {base + plane, base + 2 * plane, base};  // G,B,R
+    int stride[3] = {wb, wb, wb};
+    e->sc.ctx = sws_getCachedContext(e->sc.ctx, e->w, e->h, AV_PIX_FMT_GBRP,
+                                     e->w, e->h, e->ec->pix_fmt, SWS_BICUBIC,
+                                     nullptr, nullptr, nullptr);
+    if (!e->sc.ctx) { set_error("sws"); return -1; }
+    av_frame_make_writable(e->frame);
+    sws_scale(e->sc.ctx, src, stride, 0, e->h, e->frame->data,
+              e->frame->linesize);
+    e->frame->pts = e->pts++;
+    avcodec_send_frame(e->ec, e->frame);
+    enc_drain(e);
+  }
+  return n;
+}
+
+int vsm_enc_close(void* h_) {
+  auto* e = (VsmEncoder*)h_;
+  int n = (int)e->pts;
+  avcodec_send_frame(e->ec, nullptr);
+  enc_drain(e);
+  av_write_trailer(e->fmt);
+  if (!(e->fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&e->fmt->pb);
+  av_packet_free(&e->pkt);
+  av_frame_free(&e->frame);
+  avcodec_free_context(&e->ec);
+  avformat_free_context(e->fmt);
+  delete e;
+  return n;
 }
 
 // ---------------------------------------------------------------------------

@@ -71,6 +71,37 @@ class TestFileIO:
         # padding stays zero
         assert b[:, :, :R0].max() == 0 and b[:, :, :, :C0].max() == 0
 
+    def test_incremental_writer(self, tmp_path):
+        """VideoWriter (open/write/close streaming encoder): exact frame
+        count, fps metadata, chunked writes."""
+        fr = _frames(10, 64, 96)
+        u8 = (np.clip(fr, 0, 1) * 255).astype(np.uint8)
+        path = str(tmp_path / "incr.mp4")
+        w = native.VideoWriter(path, 96, 64, codec="h264", crf=18, fps=24)
+        w.write(u8[:6])
+        w.write(u8[6:])
+        assert w.close() == 10
+        r = native.VideoReader(path)
+        back = r.read(15)
+        assert back.shape[0] == 10 and abs(r.fps - 24.0) < 1e-6
+        r.close()
+
+    def test_incremental_writer_planar(self, tmp_path):
+        """write_planar consumes the embed kernel's planar layout."""
+        from videoseal_tpu.kernels.fused_planar import C0, R0, pack_planar
+        fr = (np.clip(_frames(8, 64, 96), 0, 1) * 255).astype(np.uint8)
+        fp = np.asarray(pack_planar(fr))
+        path = str(tmp_path / "incrp.mp4")
+        w = native.VideoWriter(path, 96, 64, codec="h264", crf=18, fps=24)
+        w.write_planar(fp, r0=R0, c0=C0)
+        assert w.close() == 8
+        r = native.VideoReader(path)
+        back = r.read(10)
+        r.close()
+        mse = ((back.astype(np.float32) / 255
+                - fr.astype(np.float32) / 255) ** 2).mean()
+        assert back.shape[0] == 8 and mse < 0.01
+
     def test_seek(self, tmp_path):
         fr = _frames(24, 64, 64)
         path = str(tmp_path / "clip.mp4")

@@ -54,13 +54,12 @@ def _reader_planar(path: str, chunk_size: int, out_q: queue.Queue):
 
 
 def embed_video_planar(model, input_path: str, output_path: str,
-                       chunk_size: int = 32, codec: str = "mp4v") -> dict:
-    """Planar-u8 streaming embed: native decoder fills planar buffers, ONE
-    fused Pallas pass does JND+upsample+blend per chunk, frames come back as
-    u8. Requires model.supports_planar and the native media runtime."""
-    import cv2
-    import jax
-    from .kernels.fused_planar import unpack_planar
+                       chunk_size: int = 32, crf: int = 18) -> dict:
+    """Planar-u8 streaming embed: the native decoder fills planar buffers,
+    ONE fused Pallas pass does JND+upsample+blend per chunk, and the native
+    incremental encoder (libx264) consumes the planar output directly — no
+    interleave ever happens on host or device. Requires
+    model.supports_planar and the native media runtime."""
     from . import native
 
     rdr = native.VideoReader(input_path)
@@ -72,23 +71,19 @@ def embed_video_planar(model, input_path: str, output_path: str,
     threading.Thread(target=_reader_planar,
                      args=(input_path, chunk_size, in_q), daemon=True).start()
 
-    writer = cv2.VideoWriter(output_path, cv2.VideoWriter_fourcc(*codec), fps,
-                             (w, h))
-    if not writer.isOpened():
-        raise RuntimeError(f"cannot open writer for {output_path}")
+    writer = native.VideoWriter(output_path, w, h, codec="h264", crf=crf,
+                                fps=fps)
 
     def _writer():
         while True:
             item = out_q.get()
             if item is None:
                 return
-            for fr in item:
-                writer.write(fr[..., ::-1])
+            writer.write_planar(item)   # image at rows [0,h) cols [0,w)
 
     t_write = threading.Thread(target=_writer, daemon=True)
     t_write.start()
 
-    unpack = jax.jit(lambda p: unpack_planar(p, h, w))
     msgs = model.get_random_msg(1)
     n = 0
     pending = None
@@ -100,11 +95,11 @@ def embed_video_planar(model, input_path: str, output_path: str,
         if chunk is None:
             break
         out = model.embed_planar(chunk, h, w, msgs=msgs)
-        pending = unpack(out["imgs_w"])   # device-side transpose, u8 fetch
+        pending = out["imgs_w"]   # stays planar end to end
         n += chunk.shape[0]
     out_q.put(None)
     t_write.join()
-    writer.release()
+    writer.close()
     return {"msgs": msgs, "frames": n, "fps": fps}
 
 
@@ -112,8 +107,7 @@ def embed_video(model, input_path: str, output_path: str, chunk_size: int = 32,
                 codec: str = "mp4v") -> dict:
     from . import native as _native
     if getattr(model, "supports_planar", False) and _native.available():
-        return embed_video_planar(model, input_path, output_path, chunk_size,
-                                  codec)
+        return embed_video_planar(model, input_path, output_path, chunk_size)
     import cv2
     import jax
 

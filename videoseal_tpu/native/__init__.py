@@ -53,6 +53,16 @@ def _load():
                 ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
             lib.vsm_mux_audio.argtypes = [ctypes.c_char_p] * 3
+            lib.vsm_enc_open.restype = ctypes.c_void_p
+            lib.vsm_enc_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                         ctypes.c_int, ctypes.c_char_p,
+                                         ctypes.c_int, ctypes.c_int]
+            lib.vsm_enc_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                          ctypes.c_int]
+            lib.vsm_enc_write_planar.argtypes = [ctypes.c_void_p,
+                                                 ctypes.c_void_p]
+            lib.vsm_enc_write_planar.argtypes += [ctypes.c_int] * 5
+            lib.vsm_enc_close.argtypes = [ctypes.c_void_p]
             _lib = lib
         except Exception:
             _lib = None
@@ -143,6 +153,53 @@ class VideoReader:
         if self._h:
             self._lib.vsm_close(self._h)
             self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class VideoWriter:
+    """Incremental encoder (streaming writes chunk-by-chunk; libx264 etc. at
+    a controlled crf — the cv2.VideoWriter/ffmpeg-pipe replacement)."""
+
+    def __init__(self, path: str, w: int, h: int, codec: str = "h264",
+                 crf: int = 18, fps: float = 24.0):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native media runtime unavailable")
+        self._lib = lib
+        self.w, self.h = w, h
+        self._h = lib.vsm_enc_open(path.encode(), w, h, codec.encode(),
+                                   int(crf), int(round(fps)))
+        if not self._h:
+            raise RuntimeError(lib.vsm_last_error().decode())
+
+    def write(self, frames: np.ndarray) -> int:
+        """frames: (N, H, W, 3) uint8 interleaved RGB."""
+        u8 = np.ascontiguousarray(frames)
+        assert u8.dtype == np.uint8 and u8.shape[1:] == (self.h, self.w, 3)
+        return self._lib.vsm_enc_write(
+            self._h, u8.ctypes.data_as(ctypes.c_void_p), u8.shape[0])
+
+    def write_planar(self, frames_p: np.ndarray, r0: int = 0,
+                     c0: int = 0) -> int:
+        """frames_p: (N, 3, Hp, Wb) uint8 planar (the embed kernel's output
+        layout: image at rows [r0, r0+H), cols [c0, c0+W))."""
+        u8 = np.ascontiguousarray(frames_p)
+        assert u8.dtype == np.uint8 and u8.ndim == 4 and u8.shape[1] == 3
+        return self._lib.vsm_enc_write_planar(
+            self._h, u8.ctypes.data_as(ctypes.c_void_p), u8.shape[0],
+            u8.shape[2], u8.shape[3], r0, c0)
+
+    def close(self) -> int:
+        if self._h:
+            n = self._lib.vsm_enc_close(self._h)
+            self._h = None
+            return n
+        return 0
 
     def __del__(self):
         try:
