@@ -22,6 +22,8 @@ def main():
     ap.add_argument("--card", default="videoseal_1.0")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--s2d", type=int, default=0,
+                    help="time the space-to-depth forward's stages instead")
     args = ap.parse_args()
 
     import jax
@@ -47,6 +49,11 @@ def main():
 
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.uniform(-1, 1, (K, sdim, sdim, 1)), cdtype)
+
+    if args.s2d:
+        _s2d_stages(p, s, mults, num_blocks, normalization, act, hidden,
+                    sdim, K, x0, rng, cdtype, args.k)
+        return
 
     def encoder(x, eps):
         x = _perturb(x, eps)
@@ -104,6 +111,95 @@ def main():
             ("decoder", decoder, (y0, hiddens[:-1] + [y_pre])),
     ):
         dt = time_stage(fn, a, args.k)
+        print(json.dumps({"stage": name, "ms": round(dt * 1e3, 2),
+                          "per_key_us": round(dt * 1e6 / K, 1)}), flush=True)
+
+
+def _s2d_stages(p, st, mults, num_blocks, normalization, act, hidden,
+                sdim, K, x0, rng, cdtype, kk):
+    """Per-stage timing of the s2d forward (kernels/unet_s2d.py)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    from ..kernels.unet_s2d import (_block_s2d, _upsample_s2d, cat_s2d,
+                                    conv_s2d, d2s, s2d, s2d_schedule)
+    from .stage_bench import time_stage, _perturb
+
+    n_levels = len(mults)
+    z = p["inc"]["conv2"]["conv"]["kernel"].shape[-1]
+    sch = list(s2d_schedule(sdim, z, mults))
+    for i in range(n_levels - 2, -1, -1):
+        sch[i] = min(sch[i], 2 * sch[i + 1])
+    sch = tuple(sch)
+    print(json.dumps({"schedule": sch}), flush=True)
+
+    def encoder(x, eps):
+        x = _perturb(x, eps)
+        x = s2d(x * 2 - 1, sch[0])
+        x = _block_s2d(x, p["inc"], st.get("inc", {}), normalization, act,
+                       sch[0])
+        hiddens = [x]
+        for i in range(n_levels - 1):
+            d = p[f"downs_{i}"]
+            ds = st.get(f"downs_{i}", {})
+            y = conv_s2d(hiddens[-1], d["down"]["kernel"], d["down"]["bias"],
+                         conv_stride=2, s_in=sch[i], s_out=sch[i + 1])
+            y = _block_s2d(y, d["conv"], ds.get("conv", {}), normalization,
+                           act, sch[i + 1])
+            hiddens.append(y)
+        return hiddens
+
+    hiddens = jax.jit(lambda x: encoder(x, jnp.float32(0.0)))(x0)
+    lat = hiddens[-1]
+    emb = jnp.asarray(rng.normal(0, 1, (K, hidden)), cdtype)
+    s_bot = sch[-1]
+
+    def _pre(lat_, emb_):
+        emb_map = jnp.broadcast_to(
+            emb_[:, None, None, :].astype(lat_.dtype),
+            lat_.shape[:-1] + (hidden,))
+        if s_bot > 1:
+            emb_map = jnp.tile(emb_map, (1, 1, 1, s_bot * s_bot))
+        return cat_s2d(lat_, emb_map, s_bot)
+
+    def bottleneck(args_, eps):
+        lat_, emb_ = args_
+        y = _perturb(_pre(lat_, emb_), eps)
+        for j in range(num_blocks):
+            y = _block_s2d(y, p[f"bottleneck_{j}"],
+                           st.get(f"bottleneck_{j}", {}), normalization, act,
+                           s_bot)
+        return y
+
+    y_pre = jax.jit(_pre)(lat, emb)
+    y0 = jax.jit(lambda a: bottleneck(a, jnp.float32(0.0)))((lat, emb))
+
+    def decoder(args_, eps):
+        y, hs = args_
+        y = _perturb(y, eps)
+        hs = list(hs)
+        scale = 2 ** -0.5
+        levels = list(sch)
+        for i in range(n_levels - 1):
+            s_cur = levels[n_levels - 1 - i]
+            s_next = levels[n_levels - 2 - i]
+            y = cat_s2d(y, hs.pop() * scale, s_cur)
+            u = p[f"ups_{i}"]
+            us = st.get(f"ups_{i}", {})
+            y = _upsample_s2d(y, u["up"], act, s_cur, s_next)
+            y = _block_s2d(y, u["conv"], us.get("conv", {}), normalization,
+                           act, s_next)
+        y = conv_s2d(y, p["outc"]["kernel"], p["outc"]["bias"],
+                     s_in=sch[0], s_out=sch[0])
+        return jnp.tanh(d2s(y, sch[0]))
+
+    for name, fn, a in (
+            ("s2d_encoder", encoder, x0),
+            ("s2d_bottleneck", bottleneck, (lat, emb)),
+            ("s2d_decoder", decoder, (y0, hiddens[:-1] + [y_pre])),
+    ):
+        dt = time_stage(fn, a, kk)
         print(json.dumps({"stage": name, "ms": round(dt * 1e3, 2),
                           "per_key_us": round(dt * 1e6 / K, 1)}), flush=True)
 
