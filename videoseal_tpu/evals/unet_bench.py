@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--s2d", type=int, default=0,
                     help="time the space-to-depth forward's stages instead")
+    ap.add_argument("--s2d_pieces", type=int, default=0,
+                    help="time each s2d decoder level separately")
     args = ap.parse_args()
 
     import jax
@@ -50,6 +52,10 @@ def main():
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.uniform(-1, 1, (K, sdim, sdim, 1)), cdtype)
 
+    if args.s2d_pieces:
+        _s2d_decoder_pieces(p, s, mults, num_blocks, normalization, act,
+                            hidden, sdim, K, x0, rng, cdtype, args.k)
+        return
     if args.s2d:
         _s2d_stages(p, s, mults, num_blocks, normalization, act, hidden,
                     sdim, K, x0, rng, cdtype, args.k)
@@ -202,6 +208,90 @@ def _s2d_stages(p, st, mults, num_blocks, normalization, act, hidden,
         dt = time_stage(fn, a, kk)
         print(json.dumps({"stage": name, "ms": round(dt * 1e3, 2),
                           "per_key_us": round(dt * 1e6 / K, 1)}), flush=True)
+
+
+
+
+def _s2d_decoder_pieces(p, st, mults, num_blocks, normalization, act, hidden,
+                        sdim, K, x0, rng, cdtype, kk):
+    """Break the s2d decoder into per-level pieces."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    from ..kernels.unet_s2d import (_block_s2d, _upsample_s2d, cat_s2d,
+                                    conv_s2d, d2s, s2d, s2d_schedule)
+    from .stage_bench import time_stage, _perturb
+
+    n_levels = len(mults)
+    z = p["inc"]["conv2"]["conv"]["kernel"].shape[-1]
+    sch = list(s2d_schedule(sdim, z, mults))
+    for i in range(n_levels - 2, -1, -1):
+        sch[i] = min(sch[i], 2 * sch[i + 1])
+    sch = tuple(sch)
+
+    # build real intermediates
+    def enc(x):
+        x = s2d(x * 2 - 1, sch[0])
+        x = _block_s2d(x, p["inc"], st.get("inc", {}), normalization, act,
+                       sch[0])
+        hiddens = [x]
+        for i in range(n_levels - 1):
+            d = p[f"downs_{i}"]
+            y = conv_s2d(hiddens[-1], d["down"]["kernel"], d["down"]["bias"],
+                         conv_stride=2, s_in=sch[i], s_out=sch[i + 1])
+            y = _block_s2d(y, d["conv"], st.get(f"downs_{i}", {}).get("conv", {}),
+                           normalization, act, sch[i + 1])
+            hiddens.append(y)
+        return hiddens
+
+    hiddens = jax.jit(enc)(x0)
+    emb = jnp.asarray(rng.normal(0, 1, (K, hidden)), cdtype)
+    lat = hiddens[-1]
+    s_bot = sch[-1]
+    emb_map = jnp.broadcast_to(emb[:, None, None, :].astype(lat.dtype),
+                               lat.shape[:-1] + (hidden,))
+    y = jax.jit(lambda a, b: cat_s2d(a, b, s_bot))(lat, emb_map)
+    for j in range(num_blocks):
+        y = jax.jit(lambda v, jj=j: _block_s2d(
+            v, p[f"bottleneck_{jj}"], st.get(f"bottleneck_{jj}", {}),
+            normalization, act, s_bot))(y)
+
+    scale = 2 ** -0.5
+    cur = y
+    for i in range(n_levels - 1):
+        s_cur = sch[n_levels - 1 - i]
+        s_next = sch[n_levels - 2 - i]
+        skip = hiddens[n_levels - 1 - i - 1] if i > 0 else hiddens[-1]
+        # NOTE: mirrors decoder pops: first pop is the bottleneck-level
+        # pre-concat — approximate with lat||emb tensor for shape parity
+        skip_t = (cat_s2d(lat, emb_map, s_bot) if i == 0
+                  else hiddens[n_levels - 1 - i])
+
+        def level(args_, eps, i=i, s_cur=s_cur, s_next=s_next):
+            yy, sk = args_
+            yy = _perturb(yy, eps)
+            yy = cat_s2d(yy, sk * scale, s_cur)
+            u = p[f"ups_{i}"]
+            us = st.get(f"ups_{i}", {})
+            yy = _upsample_s2d(yy, u["up"], act, s_cur, s_next)
+            return _block_s2d(yy, u["conv"], us.get("conv", {}), normalization,
+                              act, s_next)
+
+        dt = time_stage(level, (cur, skip_t), kk)
+        print(json.dumps({"stage": f"s2d_up{i}", "ms": round(dt * 1e3, 2)}),
+              flush=True)
+        cur = jax.jit(lambda a: level(a, jnp.float32(0.0)))((cur, skip_t))
+
+    def outc(v, eps):
+        v = _perturb(v, eps)
+        v = conv_s2d(v, p["outc"]["kernel"], p["outc"]["bias"],
+                     s_in=sch[0], s_out=sch[0])
+        return jnp.tanh(d2s(v, sch[0]))
+
+    dt = time_stage(outc, cur, kk)
+    print(json.dumps({"stage": "s2d_outc", "ms": round(dt * 1e3, 2)}),
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -185,14 +185,27 @@ def _block_s2d(x, p, s_t, normalization, act, s):
 def _upsample_s2d(x, p, act, s_in, s_out):
     """Upsample block (common.py:45-52) from s2d(s_in) to s2d(s_out):
     2x bilinear resize (in plain space), reflect pad, 3x3 conv packed to
-    s2d(s_out), channel LN, act."""
+    s2d(s_out), channel LN, act.
+
+    The reflect-padded tensor has awkward dims (2H+2, e.g. 258): zero-pad it
+    up to a tile-friendly multiple of 16 and slice the extra output cells —
+    exact (the zeros only feed cells that are discarded), and XLA's conv
+    emitter handles the aligned size far better."""
     x = d2s(x, s_in)
     h, w = x.shape[-3] * 2, x.shape[-2] * 2
     prec = "highest" if x.dtype == jnp.float32 else "default"
     x = resize_bilinear(x, h, w, antialias=False, precision=prec)
     x = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="reflect")
+    hp, wp = x.shape[-3], x.shape[-2]
+    hq = -(-hp // 16) * 16
+    wq = -(-wp // 16) * 16
+    if (hq, wq) != (hp, wp):
+        x = jnp.pad(x, [(0, 0), (0, hq - hp), (0, wq - wp), (0, 0)])
     y = conv_s2d(x, p["conv"]["kernel"], p["conv"].get("bias"),
                  s_in=1, s_out=s_out, pad=0)
+    nh, nw = h // s_out, w // s_out
+    if y.shape[-3] != nh or y.shape[-2] != nw:
+        y = y[:, :nh, :nw]
     y = _ln_s2d(y, p["norm"], s_out)
     return act(y)
 
