@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.resize import resize_bilinear
 from .unet_fused import _channel_ln, _fold_bn
@@ -59,13 +60,26 @@ def d2s(y: jnp.ndarray, s: int) -> jnp.ndarray:
 
 def cat_s2d(a: jnp.ndarray, b: jnp.ndarray, s: int) -> jnp.ndarray:
     """Concat two canonical s2d(s) tensors along REAL channels (phase-major
-    result): [(ph)(Ca)] + [(ph)(Cb)] -> [(ph)(Ca+Cb)]."""
+    result): [(ph)(Ca)] + [(ph)(Cb)] -> [(ph)(Ca+Cb)].
+
+    The interleave is one permutation MATMUL on a plain concat: the reshape
+    form puts tiny channel groups in the lane dim (a relayout of the whole
+    tensor); a (C, C) permutation rides the MXU with full lanes."""
     if s == 1:
         return jnp.concatenate([a, b], axis=-1)
-    n, hc, wc, _ = a.shape
-    ar = a.reshape(n, hc, wc, s * s, -1)
-    br = b.reshape(n, hc, wc, s * s, -1)
-    return jnp.concatenate([ar, br], axis=-1).reshape(n, hc, wc, -1)
+    ss = s * s
+    ca = a.shape[-1] // ss
+    cb = b.shape[-1] // ss
+    cc = a.shape[-1] + b.shape[-1]
+    perm = np.zeros((cc, cc), dtype=np.float32)
+    for ph in range(ss):
+        for j in range(ca):                      # a's phase-ph block
+            perm[ph * ca + j, ph * (ca + cb) + j] = 1.0
+        for j in range(cb):                      # b's phase-ph block
+            perm[a.shape[-1] + ph * cb + j, ph * (ca + cb) + ca + j] = 1.0
+    cat = jnp.concatenate([a, b], axis=-1)
+    return jnp.einsum("...c,cd->...d", cat,
+                      jnp.asarray(perm, cat.dtype)).astype(cat.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -144,12 +158,29 @@ def conv_s2d(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray | None, *,
 # ---------------------------------------------------------------------------
 
 def _ln_s2d(x, p, s):
-    """ChannelLayerNorm over REAL channels inside an s2d(s) tensor."""
+    """ChannelLayerNorm over REAL channels inside an s2d(s) tensor.
+
+    Matmul-form stats: reshaping to (..., s*s, C) puts C in the lane dim
+    (C=16 at the top level — 12.5% lane use and a relayout of the whole
+    tensor). Instead compute per-phase means with a (cc, s*s) averaging
+    matmul and broadcast back with its transpose — lanes stay wide."""
     if s == 1:
         return _channel_ln(x, p)
     n, hc, wc, cc = x.shape
-    y = _channel_ln(x.reshape(n, hc, wc, s * s, cc // (s * s)), p)
-    return y.reshape(n, hc, wc, cc)
+    ss = s * s
+    c = cc // ss
+    xf = x.astype(jnp.float32)
+    sel = jnp.asarray(np.kron(np.eye(ss, dtype=np.float32),
+                              np.ones((c, 1), np.float32)))   # (cc, ss)
+    mu = jnp.einsum("...c,cp->...p", xf, sel / c)             # (..., ss)
+    mu_b = jnp.einsum("...p,cp->...c", mu, sel)               # broadcast back
+    d = xf - mu_b
+    var = jnp.einsum("...c,cp->...p", d * d, sel / c)
+    inv = jax.lax.rsqrt(var + 1e-6)
+    inv_b = jnp.einsum("...p,cp->...c", inv, sel)
+    w = jnp.tile(p["weight"].astype(jnp.float32), ss)
+    b = jnp.tile(p["bias"].astype(jnp.float32), ss)
+    return (d * inv_b * w + b).astype(x.dtype)
 
 
 def _block_s2d(x, p, s_t, normalization, act, s):
