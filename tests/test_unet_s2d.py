@@ -51,6 +51,35 @@ class TestConvS2d:
                                    atol=2e-4, rtol=1e-4)
 
 
+class TestComposedUpsample:
+    """_upsample_s2d_composed vs the plain-excursion _upsample_s2d."""
+
+    @pytest.mark.parametrize("s_in,s_out,h,w", [
+        (1, 1, 8, 8), (1, 2, 8, 12), (2, 2, 8, 8), (2, 1, 6, 10), (2, 4, 8, 8),
+    ])
+    def test_matches_plain_excursion(self, s_in, s_out, h, w):
+        from videoseal_tpu.kernels.unet_s2d import (_upsample_s2d,
+                                                    _upsample_s2d_composed)
+        rng = np.random.default_rng(3)
+        ci, co = 6, 4
+        act = lambda v: jnp.maximum(v, 0)
+        p = {"conv": {"kernel": jnp.asarray(
+                          rng.normal(size=(3, 3, ci, co)).astype(np.float32)),
+                      "bias": jnp.asarray(
+                          rng.normal(size=(co,)).astype(np.float32))},
+             "norm": {"weight": jnp.asarray(
+                          rng.uniform(0.5, 2, (co,)).astype(np.float32)),
+                      "bias": jnp.asarray(
+                          rng.normal(size=(co,)).astype(np.float32))}}
+        x = jnp.asarray(rng.normal(size=(2, h, w, s_in * s_in * ci))
+                        .astype(np.float32))
+        ref = _upsample_s2d(x, p, act, s_in, s_out)
+        got = _upsample_s2d_composed(x, p, act, s_in, s_out)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=3e-4, rtol=1e-4)
+
+
 def _build(norm, act, z=4):
     cfg = {"msg_processor": {"msg_processor_type": "binary+concat"},
            "unet": {"in_channels": 1, "out_channels": 1, "z_channels": z,

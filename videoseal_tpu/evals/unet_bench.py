@@ -128,7 +128,7 @@ def _s2d_stages(p, st, mults, num_blocks, normalization, act, hidden,
 
     import jax
     import jax.numpy as jnp
-    from ..kernels.unet_s2d import (_block_s2d, _upsample_s2d, cat_s2d,
+    from ..kernels.unet_s2d import (_block_s2d, _upsample_s2d_composed, cat_s2d,
                                     conv_s2d, d2s, s2d, s2d_schedule)
     from .stage_bench import time_stage, _perturb
 
@@ -193,7 +193,7 @@ def _s2d_stages(p, st, mults, num_blocks, normalization, act, hidden,
             y = cat_s2d(y, hs.pop() * scale, s_cur)
             u = p[f"ups_{i}"]
             us = st.get(f"ups_{i}", {})
-            y = _upsample_s2d(y, u["up"], act, s_cur, s_next)
+            y = _upsample_s2d_composed(y, u["up"], act, s_cur, s_next)
             y = _block_s2d(y, u["conv"], us.get("conv", {}), normalization,
                            act, s_next)
         y = conv_s2d(y, p["outc"]["kernel"], p["outc"]["bias"],
@@ -219,7 +219,7 @@ def _s2d_decoder_pieces(p, st, mults, num_blocks, normalization, act, hidden,
 
     import jax
     import jax.numpy as jnp
-    from ..kernels.unet_s2d import (_block_s2d, _upsample_s2d, cat_s2d,
+    from ..kernels.unet_s2d import (_block_s2d, _upsample_s2d_composed, cat_s2d,
                                     conv_s2d, d2s, s2d, s2d_schedule)
     from .stage_bench import time_stage, _perturb
 
@@ -274,7 +274,7 @@ def _s2d_decoder_pieces(p, st, mults, num_blocks, normalization, act, hidden,
             yy = cat_s2d(yy, sk * scale, s_cur)
             u = p[f"ups_{i}"]
             us = st.get(f"ups_{i}", {})
-            yy = _upsample_s2d(yy, u["up"], act, s_cur, s_next)
+            yy = _upsample_s2d_composed(yy, u["up"], act, s_cur, s_next)
             return _block_s2d(yy, u["conv"], us.get("conv", {}), normalization,
                               act, s_next)
 

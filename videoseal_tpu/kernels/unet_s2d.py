@@ -28,11 +28,13 @@ linen module (modules/unet.py) remains the training path + parity oracle.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.resize import resize_bilinear
+from ..ops.resize import _resize_matrix, resize_bilinear
 from .unet_fused import _channel_ln, _fold_bn
 
 
@@ -241,6 +243,143 @@ def _upsample_s2d(x, p, act, s_in, s_out):
     return act(y)
 
 
+def regrid_s2d(y: jnp.ndarray, s_from: int, r: int) -> jnp.ndarray:
+    """Refine the cell grid: s2d(s_from) @ G -> s2d(s_from/r) @ r*G.
+
+    Pure layout permutation (cell-space d2s by factor r); channels stay wide
+    (s_from^2*C lanes in, (s_from/r)^2*C out), so XLA moves it at bandwidth.
+    """
+    if r == 1:
+        return y
+    b, g, gw, cc = y.shape
+    s_new = s_from // r
+    c = cc // (s_from * s_from)
+    y = y.reshape(b, g, gw, r, s_new, r, s_new, c)
+    y = y.transpose(0, 1, 3, 2, 5, 4, 6, 7)
+    return y.reshape(b, g * r, gw * r, s_new * s_new * c)
+
+
+@functools.lru_cache(maxsize=32)
+def _up_tap_tensor(s: int) -> np.ndarray:
+    """Interior taps of (2x bilinear upsample -> reflect pad -> 3x3 conv tap d)
+    as a cell-space tensor g[d, k, b, a]: the weight with which conv tap d of
+    output pixel 2s*I + b reads input pixel s*(I + k - 1) + a.
+
+    Read off rows of the real resize operator (ops/resize.py half-pixel
+    semantics) at an interior cell of a probe domain, so the composition is
+    exact by construction rather than by index algebra.
+    """
+    n = 16 * s
+    R = _resize_matrix(n, 2 * n, antialias=False)   # (2n, n)
+    J = 4                                            # interior probe cell
+    g = np.zeros((3, 3, 2 * s, s), np.float32)
+    for d in range(3):
+        for k in range(3):
+            g[d, k] = R[2 * s * J + d - 1:2 * s * (J + 1) + d - 1,
+                        s * (J + k - 1):s * (J + k)]
+    return g
+
+
+def pack_up_conv(w: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Compose 2x bilinear upsample + reflect pad + 3x3 conv into ONE dense
+    cell-space kernel: s2d(s) @ G input -> s2d(2s) @ G output (same grid).
+
+    (3,3,Ci,Co) -> (3,3, s*s*Ci, 4*s*s*Co). Valid for image-interior cells;
+    border cells (resize edge renorm + reflect pad) need the strip fixup in
+    _upsample_s2d_composed.
+    """
+    g = jnp.asarray(_up_tap_tensor(s))               # (d, k, b, a)
+    wf = w.astype(jnp.float32)                       # (d, e, Ci, Co)
+    wc = jnp.einsum("dkba,elfc,deio->klacibfo", g, g, wf,
+                    precision="highest")
+    ci, co = w.shape[2], w.shape[3]
+    return wc.reshape(3, 3, s * s * ci, 4 * s * s * co)
+
+
+def _up_strip_h(x, w, bias, s, top: bool):
+    """Exact top/bottom output-cell row of upsample+pad+conv, via the plain
+    operators on a 2-cell-row input slice. Returns (B, 1, G, 4s^2*Co)."""
+    b_, g, gw, _ = x.shape
+    H, W = g * s, gw * s
+    xs = d2s(x[:, :2] if top else x[:, -2:], s).astype(jnp.float32)
+    Rf = _resize_matrix(H, 2 * H, antialias=False)
+    Rv = Rf[:2 * s + 1, :2 * s] if top else Rf[-(2 * s + 1):, -2 * s:]
+    u = jnp.einsum("Mh,bhwc->bMwc", jnp.asarray(Rv), xs)
+    Rw = jnp.asarray(_resize_matrix(W, 2 * W, antialias=False))
+    u = jnp.einsum("Ww,bmwc->bmWc", Rw, u)
+    if top:   # v[-1] = u[1]
+        v = jnp.concatenate([u[:, 1:2], u], axis=1)
+    else:     # v[2H] = u[2H-2]
+        v = jnp.concatenate([u, u[:, -2:-1]], axis=1)
+    v = jnp.pad(v, [(0, 0), (0, 0), (1, 1), (0, 0)], mode="reflect")
+    dn = jax.lax.conv_dimension_numbers(v.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(v, w.astype(jnp.float32), (1, 1),
+                                     "VALID", dimension_numbers=dn)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return s2d(y, 2 * s)
+
+
+def _up_strip_v(x, w, bias, s, left: bool):
+    """Exact left/right output-cell column (full height, corners included).
+    Returns (B, G, 1, 4s^2*Co)."""
+    b_, g, gw, _ = x.shape
+    H, W = g * s, gw * s
+    xs = d2s(x[:, :, :2] if left else x[:, :, -2:], s).astype(jnp.float32)
+    Rf = _resize_matrix(H, 2 * H, antialias=False)
+    u = jnp.einsum("Mh,bhwc->bMwc", jnp.asarray(Rf), xs)   # true full-height
+    Rw = _resize_matrix(W, 2 * W, antialias=False)
+    Rh = Rw[:2 * s + 1, :2 * s] if left else Rw[-(2 * s + 1):, -2 * s:]
+    u = jnp.einsum("Ww,bmwc->bmWc", jnp.asarray(Rh), u)
+    if left:
+        v = jnp.concatenate([u[:, :, 1:2], u], axis=2)
+    else:
+        v = jnp.concatenate([u, u[:, :, -2:-1]], axis=2)
+    v = jnp.pad(v, [(0, 0), (1, 1), (0, 0), (0, 0)], mode="reflect")
+    dn = jax.lax.conv_dimension_numbers(v.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(v, w.astype(jnp.float32), (1, 1),
+                                     "VALID", dimension_numbers=dn)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return s2d(y, 2 * s)
+
+
+def _upsample_s2d_composed(x, p, act, s_in, s_out):
+    """Upsample block (common.py:45-52) as ONE grid-preserving cell-space
+    conv: s2d(s_in) @ G -> s2d(2*s_in) @ G, then a layout-only regrid to the
+    next level's s2d(s_out). Replaces the d2s -> resize -> pad -> conv -> s2d
+    excursion of _upsample_s2d (which paid ~10 ms/32 keys in relayouts,
+    PERF.md round-2 ledger). Interior is the packed conv; the four border
+    cell rows/cols (where resize edge renorm + reflect pad change the
+    operator) are overwritten with exact plain-path strips.
+    """
+    w = p["conv"]["kernel"]
+    bias = p["conv"].get("bias")
+    g, gw = x.shape[1], x.shape[2]
+    if (w.shape[0] != 3 or w.shape[1] != 3 or (2 * s_in) % s_out != 0
+            or g < 4 or gw < 4):
+        return _upsample_s2d(x, p, act, s_in, s_out)
+    so = 2 * s_in
+    wc = pack_up_conv(w, s_in).astype(x.dtype)
+    dn = jax.lax.conv_dimension_numbers(x.shape, wc.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(x, wc, (1, 1), [(1, 1), (1, 1)],
+                                     dimension_numbers=dn)
+    if bias is not None:
+        y = y + jnp.tile(bias, so * so).astype(x.dtype)
+    top = _up_strip_h(x, w, bias, s_in, True).astype(y.dtype)
+    bot = _up_strip_h(x, w, bias, s_in, False).astype(y.dtype)
+    y = jnp.concatenate([top, y[:, 1:-1], bot], axis=1)
+    lef = _up_strip_v(x, w, bias, s_in, True).astype(y.dtype)
+    rig = _up_strip_v(x, w, bias, s_in, False).astype(y.dtype)
+    y = jnp.concatenate([lef, y[:, :, 1:-1], rig], axis=2)
+    y = _ln_s2d(y, p["norm"], so)
+    y = act(y)
+    return regrid_s2d(y, so, so // s_out)
+
+
 def s2d_schedule(img_size: int, z_channels: int, mults) -> tuple:
     """Per-level s: smallest power of 2 with s^2 * C_level >= 64 (enough to
     kill most lane padding), capped so cell grids stay >= 8 and divisible."""
@@ -325,7 +464,7 @@ def unet_apply_s2d(params: dict, stats: dict, x: jnp.ndarray,
         y = cat_s2d(y, hiddens.pop() * scale, s_cur)
         u = p[f"ups_{i}"]
         us = st.get(f"ups_{i}", {})
-        y = _upsample_s2d(y, u["up"], act, s_cur, s_next)
+        y = _upsample_s2d_composed(y, u["up"], act, s_cur, s_next)
         y = _block_s2d(y, u["conv"], us.get("conv", {}), normalization, act,
                        s_next)
 
