@@ -97,8 +97,11 @@ def build_mask_sampler(cfg: dict):
         raise ValueError(f"mask kind {kind!r}")
 
     def sampler(key, imgs_w, masks):
-        if kind == "segmentation" and masks is not None:
-            return masks
+        if kind == "segmentation":
+            # dataset/host-provided masks pass through (masks.py:299-302);
+            # the host MixedMaskEmbedder path (train.py) feeds batch masks
+            # through this kind. Without masks, degrade to full coverage.
+            return masks if masks is not None else jnp.ones_like(imgs_w[..., 0:1])
         b, h, w = imgs_w.shape[0], imgs_w.shape[-3], imgs_w.shape[-2]
         keys = jax.random.split(key, b + 1)
         ms = jax.vmap(lambda k: sample_one(k, h, w))(keys[1:])  # (B, H, W)

@@ -78,7 +78,16 @@ def get_parser():
     # io
     p.add_argument("--output_dir", default="outputs")
     p.add_argument("--saveckpt_freq", type=int, default=10)
-    p.add_argument("--eval_freq", type=int, default=5)
+    p.add_argument("--eval_freq", type=int, default=5,
+                   help="run the in-training eval sweep every N epochs "
+                        "(reference train.py:532-544; 0 disables)")
+    p.add_argument("--eval_augs", default="subset",
+                   choices=["identity", "subset", "full"],
+                   help="validation grid for the in-training sweep")
+    p.add_argument("--eval_samples", type=int, default=8,
+                   help="held-out images for the in-training eval")
+    p.add_argument("--tensorboard", type=int, default=1,
+                   help="write TB scalars + snapshot images (train.py:679-701)")
     p.add_argument("--resume", default=None)
     p.add_argument("--ckpt_format", default="npz", choices=["npz", "orbax"],
                    help="orbax: sharded multi-host checkpoints (per-host "
@@ -200,6 +209,22 @@ def main(args=None):
             aug_cfg = yaml.safe_load(f)
     else:
         aug_cfg = DEFAULT_AUGS
+
+    # Mask families (reference augmenter.py:173-176 composites
+    # MixedMaskEmbedder masks into every step). kind "mixed" routes to the
+    # host-side reference-distribution samplers (masks_host.py) feeding the
+    # jitted step's mask input via kind "segmentation" passthrough; the
+    # fully-fused on-device families stay available as kind "mixed_device".
+    mask_cfg = dict(aug_cfg.get("masks") or {"kind": None})
+    host_mask_embedder = None
+    if mask_cfg.get("kind") in ("mixed", "host", "mixed_host"):
+        from .augmentation.masks_host import get_mask_embedder
+        host_mask_embedder = get_mask_embedder(
+            "mixed", seed=args.seed,
+            **{k: v for k, v in mask_cfg.items() if k != "kind"})
+        aug_cfg = {**aug_cfg, "masks": {"kind": "segmentation"}}
+    elif mask_cfg.get("kind") == "mixed_device":
+        aug_cfg = {**aug_cfg, "masks": {**mask_cfg, "kind": "mixed"}}
     augmenter = build_augmenter(aug_cfg, num_augs=args.num_augs)
     cfg = PipelineConfig(img_size=img_size, yuv=emb.yuv, nbits=nbits,
                          blending_method=cargs.get("blending_method", "additive"))
@@ -271,6 +296,43 @@ def main(args=None):
     key = jax.random.PRNGKey(args.seed)
     modality_rng = np.random.default_rng(args.seed)
 
+    # --- observability + in-training eval (reference train.py:532-544,
+    # 679-701,718-882): TB scalars every log step, an aug x strength
+    # detection sweep + orig/wm/diff snapshots every eval_freq epochs ---
+    from .utils.tensorboard import TensorboardWriter
+    is_main = jax.process_index() == 0
+    writer = TensorboardWriter(os.path.join(args.output_dir, "tensorboard"),
+                               enabled=bool(args.tensorboard) and is_main)
+    eval_fn = None
+    eval_imgs = None
+    if args.eval_freq and "img" in loaders:
+        from .evals.intrain import make_intrain_eval
+        eval_fn = make_intrain_eval(mods, eval_augs=args.eval_augs)
+        ds_eval = loaders["img"].ds
+        n_eval = min(args.eval_samples, len(ds_eval))
+        eval_imgs = np.stack([ds_eval[i][0] for i in range(n_eval)])
+
+    def run_eval(state, epoch, it):
+        scalars, imgs_w = eval_fn(state, eval_imgs,
+                                  jax.random.PRNGKey(args.seed + 1))
+        if is_main:
+            writer.add_scalars("valid", scalars, it)
+            with open(os.path.join(args.output_dir, "eval.jsonl"), "a") as f:
+                f.write(json.dumps({"epoch": epoch, "step": it, **scalars})
+                        + "\n")
+            from .utils.display import create_diff_img, save_img
+            snap = os.path.join(args.output_dir, "snapshots")
+            os.makedirs(snap, exist_ok=True)
+            wm = np.asarray(imgs_w)
+            for i in range(min(2, wm.shape[0])):
+                save_img(eval_imgs[i], os.path.join(snap, f"{epoch:03d}_{i}_ori.png"))
+                save_img(wm[i], os.path.join(snap, f"{epoch:03d}_{i}_wm.png"))
+                save_img(create_diff_img(eval_imgs[i], wm[i]),
+                         os.path.join(snap, f"{epoch:03d}_{i}_diff.png"))
+            print("eval @ epoch", epoch,
+                  json.dumps({k: round(v, 4) for k, v in scalars.items()}),
+                  flush=True)
+
     total_steps = args.steps or args.epochs * args.iter_per_epoch
     log_path = os.path.join(args.output_dir, "log.txt")
     it = 0
@@ -291,10 +353,22 @@ def main(args=None):
                 step_fns = step_fns_by_mode["both"]
             if scaling_sched is not None:
                 state = state.replace(scaling_w=jnp.float32(scaling_sched(epoch)))
+            epoch_it = 0
             for batch in loader:
-                if it >= total_steps:
+                # an "epoch" is iter_per_epoch steps (reference train.py
+                # epoch semantics; loaders are effectively infinite)
+                if it >= total_steps or epoch_it >= args.iter_per_epoch:
                     break
+                epoch_it += 1
                 key, k = jax.random.split(key)
+                if host_mask_embedder is not None:
+                    imgs_np = np.asarray(batch["imgs"])
+                    flat = imgs_np.reshape((-1,) + imgs_np.shape[-3:])
+                    dsm = batch.get("masks")
+                    dsm = (np.asarray(dsm).reshape((-1,) + flat.shape[1:3] + (1,))
+                           if dsm is not None and np.asarray(dsm).size else None)
+                    m = host_mask_embedder(flat, dsm)
+                    batch["masks"] = m.reshape(imgs_np.shape[:-1] + (1,))
                 batch = pmesh.shard_batch(mesh, batch)
                 state, logs = step_fns[modality](state, batch, k)
                 # Fetch logs only on log steps: a per-step host readback costs
@@ -309,11 +383,15 @@ def main(args=None):
                         with open(log_path, "a") as f:
                             f.write(json.dumps({"step": it, **logger.recent()})
                                     + "\n")
+                        writer.add_scalars("train", logger.recent(), it)
                 it += 1
             epoch += 1
             if epoch % args.saveckpt_freq == 0:
                 _save_ckpt(args, state)
+            if eval_fn is not None and epoch % args.eval_freq == 0:
+                run_eval(state, epoch, it)
     _save_ckpt(args, state)
+    writer.close()
     if jax.process_index() == 0:
         print(f"done: {it} steps in {time.time() - t_start:.1f}s; "
               f"final {logger.line()}", flush=True)
