@@ -169,21 +169,28 @@ int vsm_video_roundtrip(const uint8_t* rgb_in, int nframes, int h, int w,
   ec->thread_count = 1;  // bounded memory (cf. video.py:33)
   char crfs[16];
   snprintf(crfs, sizeof crfs, "%d", crf);
+  // crf < 0 selects default-bitrate mode (the reference's strength "-1" for
+  // VP9, augmentation/__init__.py:92): leave the encoder's rate control at
+  // its defaults instead of constant-quality.
   if (!strcmp(ch.encoder, "libx264") || !strcmp(ch.encoder, "libx264rgb") ||
       !strcmp(ch.encoder, "libx265")) {
     ec->max_b_frames = 2;
-    av_opt_set(ec->priv_data, "crf", crfs, 0);
+    if (crf >= 0) av_opt_set(ec->priv_data, "crf", crfs, 0);
     av_opt_set(ec->priv_data, "preset", "medium", 0);
     if (!strcmp(ch.encoder, "libx265"))
       av_opt_set(ec->priv_data, "x265-params", "log-level=none", 0);
   } else if (!strcmp(ch.encoder, "libvpx-vp9")) {
-    av_opt_set(ec->priv_data, "crf", crfs, 0);
-    ec->bit_rate = 0;  // constant-quality mode
+    if (crf >= 0) {
+      av_opt_set(ec->priv_data, "crf", crfs, 0);
+      ec->bit_rate = 0;  // constant-quality mode
+    }
     av_opt_set(ec->priv_data, "deadline", "realtime", 0);
     av_opt_set(ec->priv_data, "cpu-used", "8", 0);
   } else if (!strcmp(ch.encoder, "libaom-av1")) {
-    av_opt_set(ec->priv_data, "crf", crfs, 0);
-    ec->bit_rate = 0;
+    if (crf >= 0) {
+      av_opt_set(ec->priv_data, "crf", crfs, 0);
+      ec->bit_rate = 0;
+    }
     av_opt_set(ec->priv_data, "usage", "realtime", 0);
     av_opt_set(ec->priv_data, "cpu-used", "8", 0);
   } else {

@@ -10,6 +10,12 @@ the training distribution for localized watermarking (PixelSeal's regime).
 
 All generators return float32 masks shaped (1, H, W) (channel-first single
 mask, like the reference) and accept `rng` for determinism.
+
+Provenance: the brush-stroke sampling sequence (0.01 + randint(max_angle),
+alternating 2*pi - angle on even vertices, per-vertex length/width draws)
+follows LaMa's public irregular-mask generator, which the reference itself
+vendored (masks.py:45-149); reproducing that exact sampling math is the
+point of this module, since it defines the training mask distribution.
 """
 
 from __future__ import annotations

@@ -90,7 +90,7 @@ def get_validation_augs(is_video: bool = False, only_identity: bool = False,
             (_codec("h264"), [23, 30, 40, 50]),
             (_codec("h264rgb"), [23, 30, 40, 50]),
             (_codec("h265"), [23, 30, 40, 50]),
-            (_codec("vp9"), [30]),
+            (_codec("vp9"), [-1]),  # default-bitrate mode (ref __init__.py:92)
             *extra,
             *get_combined_augs(is_video=True),
         ]

@@ -51,6 +51,9 @@ def evaluate(model, samples, is_video: bool = False, validation_augs=None,
     if validation_augs is None:
         validation_augs = get_validation_augs(is_video)
     lpips = _lpips_fn()
+    if lpips is None and verbose:
+        print("eval: LPIPS column skipped (no converted weights on disk — "
+              "run tools/convert_lpips.py; column will be NaN)")
 
     rows = []
     for si, imgs in enumerate(samples):
@@ -78,7 +81,11 @@ def evaluate(model, samples, is_video: bool = False, validation_augs=None,
             # optional: needs an ffmpeg with libvmaf (evals/vmaf.py);
             # reference records it for video evals (full.py:175-180)
             from .vmaf import vmaf_available, vmaf_on_tensor
-            if vmaf_available():
+            if not vmaf_available():
+                if verbose and si == 0:
+                    print("eval: VMAF/BD-rate columns skipped (no ffmpeg "
+                          "with libvmaf on PATH)")
+            else:
                 base["vmaf"] = vmaf_on_tensor(np.asarray(imgs),
                                               np.asarray(imgs_w))
                 if bdrate:
@@ -92,7 +99,11 @@ def evaluate(model, samples, is_video: bool = False, validation_augs=None,
                         s, aux = vmaf_on_tensor(np.asarray(imgs_w),
                                                 return_aux=True, crf=crf)
                         r2.append(aux["bps2"]); v2.append(s)
-                    if all(x is not None for x in v1 + v2):
+                    if any(x is None for x in v1 + v2):
+                        if verbose:
+                            print(f"eval: BD-rate skipped for sample {si} "
+                                  "(a VMAF run in the CRF sweep returned None)")
+                    else:
                         base.update({
                             "r1": "_".join(f"{x:.4g}" for x in r1),
                             "vmaf1": "_".join(f"{x:.4g}" for x in v1),
