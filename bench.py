@@ -21,6 +21,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=128)
     ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="independent chained measurements; median reported")
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--card", default="videoseal_1.0")
@@ -133,17 +135,27 @@ def main():
     _ = float(chained(frames, msgs, 1))
     rtt = time.perf_counter() - t0  # 1 iter + fetch round trip
 
+    # Repeat the chained measurement several times and report the median with
+    # its spread: run-to-run variance through the tunnel is real (~5% was the
+    # round-2 claim-vs-driver gap) and a single sample hides it.
     k = max(args.runs, 4)
-    t0 = time.perf_counter()
-    _ = float(chained(frames, msgs, k))
-    total = time.perf_counter() - t0
-    per_iter = (total - rtt) / (k - 1)  # marginal cost of one embed+extract
-    fps = args.frames / per_iter
+    fpss = []
+    for _r in range(args.repeats):
+        t0 = time.perf_counter()
+        _ = float(chained(frames, msgs, k))
+        total = time.perf_counter() - t0
+        per_iter = (total - rtt) / (k - 1)  # marginal cost of one iteration
+        fpss.append(args.frames / per_iter)
+    fpss.sort()
+    fps = fpss[len(fpss) // 2]
+    spread = (fpss[-1] - fpss[0]) / fps * 100.0
     print(json.dumps({
         "metric": f"{args.height}p_frames_per_sec_embed_extract",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 2000.0, 4),
+        "runs": [round(f, 1) for f in fpss],
+        "spread_pct": round(spread, 2),
     }))
 
 
