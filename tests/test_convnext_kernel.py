@@ -39,10 +39,39 @@ class TestConvNeXtKernel:
         diff = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
         assert diff.max() < 0.25  # bf16 end-to-end tolerance
 
+    @pytest.mark.parametrize("fps", [2, 4])
+    def test_multiframe_matches_single(self, fps):
+        """fps>1 batches frames per grid step; GRN stats must stay per-frame."""
+        rng = np.random.default_rng(2)
+        c, hw = 32, 16
+        x = jnp.asarray(rng.normal(size=(4, hw, hw, c)).astype(np.float32))
+        blk = ConvNeXtBlock(c)
+        v = blk.init(jax.random.PRNGKey(0), x)
+        p = dict(v["params"])
+        p["grn"] = {
+            "gamma": jnp.asarray(rng.normal(size=(4 * c,)).astype(np.float32)) * 0.1,
+            "beta": jnp.asarray(rng.normal(size=(4 * c,)).astype(np.float32)) * 0.1,
+        }
+        ref = blk.apply({"params": p}, x)
+        out = convnext_block_fused(x, p, interpret=True, fps=fps)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-2, rtol=5e-2)
+        one = convnext_block_fused(x, p, interpret=True, fps=1)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(one),
+                                   atol=1e-3, rtol=1e-3)
+
     def test_supports(self):
         assert supports_block(64, 64, 96)
         assert supports_block(32, 32, 192)
         assert not supports_block(256, 256, 96)  # too big for VMEM
+
+    def test_frames_per_step(self):
+        from videoseal_tpu.kernels.convnext_block import frames_per_step
+        assert frames_per_step(128, 64, 64, 96) == 1   # stage0: VMEM-bound
+        assert frames_per_step(128, 32, 32, 192) >= 2  # deeper stages batch
+        # deepest stage: pw weights alone are ~9.4MB of VMEM, so only 2 fit
+        assert frames_per_step(128, 8, 8, 768) >= 2
+        assert frames_per_step(3, 32, 32, 192) == 1    # must divide B
 
 
 class TestFusedForward:

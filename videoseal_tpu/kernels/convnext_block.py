@@ -27,16 +27,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def supports_block(h: int, w: int, c: int) -> bool:
+def supports_block(h: int, w: int, c: int, f: int = 1) -> bool:
     """VMEM budget: pipelined x tiles + bf16 expanded activations + f32 temps."""
-    bytes_needed = ((h + 6) * (w + 6) * c * 2 * 2      # in block (pipelined x2)
-                    + h * w * 4 * c * (2 + 4)          # expanded bf16 + 1 f32 temp
-                    + h * w * c * 4 * 3                # narrow f32 temps
+    bytes_needed = (f * (h + 6) * (w + 6) * c * 2 * 2  # in block (pipelined x2)
+                    + f * h * w * 4 * c * (2 + 4)      # expanded bf16 + 1 f32 temp
+                    + f * h * w * c * 4 * 3            # narrow f32 temps
                     + c * 4 * c * 2 * 2)               # weights
     # empirically the (64,64,96) stage-0 shape compiles within Mosaic's
     # scoped budget even though a naive sum suggests ~16MB; Mosaic's
     # liveness analysis reuses the expanded buffers
     return bytes_needed < 17 * 1024 * 1024 and h * w >= 64
+
+
+def frames_per_step(b: int, h: int, w: int, c: int, cap: int = 16) -> int:
+    """Largest f dividing b that fits the VMEM budget.
+
+    Deep ConvNeXt stages (16^2/8^2 planes) do tiny per-frame work — one
+    grid step per frame leaves the VPU idle between dispatches. Batching f
+    frames per step amortizes the prologue and gives every reduction/matmul
+    f x the rows."""
+    f = 1
+    while (f * 2 <= cap and b % (f * 2) == 0
+           and supports_block(h, w, c, f * 2)):
+        f *= 2
+    return f
 
 
 def _erf(z):
@@ -61,14 +75,17 @@ def _gelu_exact(x):
 
 
 def _kernel(x_ref, dw_ref, dwb_ref, lnw_ref, lnb_ref, w1_ref, b1_ref,
-            gg_ref, gb_ref, w2_ref, b2_ref, out_ref, *, h: int, w: int, c: int):
-    xpad = x_ref[0]                                   # (h+6, w+6, c) bf16
-    # depthwise 7x7, f32 accumulation (convnext.py:30)
-    acc = jnp.zeros((h, w, c), jnp.float32)
+            gg_ref, gb_ref, w2_ref, b2_ref, out_ref,
+            *, f: int, h: int, w: int, c: int):
+    xpad = x_ref[:]                                   # (f, h+6, w+6, c) bf16
+    # depthwise 7x7, f32 accumulation (convnext.py:30); all f frames in one
+    # vector op per tap — amortizes the tap loop's op overhead across frames
+    acc = jnp.zeros((f, h, w, c), jnp.float32)
     dw = dw_ref[:]                                    # (7, 7, c)
     for dy in range(7):
         for dx in range(7):
-            tap = jax.lax.slice(xpad, (dy, dx, 0), (dy + h, dx + w, c))
+            tap = jax.lax.slice(xpad, (0, dy, dx, 0),
+                                (f, dy + h, dx + w, c))
             acc = acc + tap.astype(jnp.float32) * dw[dy, dx].astype(jnp.float32)
     acc = acc + dwb_ref[:].astype(jnp.float32)
 
@@ -78,33 +95,37 @@ def _kernel(x_ref, dw_ref, dwb_ref, lnw_ref, lnb_ref, w1_ref, b1_ref,
     xn = (acc - mu) * jax.lax.rsqrt(var + 1e-6)
     xn = xn * lnw_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
 
-    # pw1 (MXU) + exact-erf GELU in f32; expanded activations live in bf16
+    # pw1 (MXU) + GELU in f32; expanded activations live in bf16
     # to halve VMEM pressure (GRN normalizes, so the rounding washes out)
-    flat = xn.reshape(h * w, c).astype(jnp.bfloat16)
+    flat = xn.reshape(f * h * w, c).astype(jnp.bfloat16)
     hmid = jnp.dot(flat, w1_ref[:], preferred_element_type=jnp.float32)
     hmid = _gelu_exact(hmid + b1_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
 
-    # GRN (common.py:158-169): per-channel L2 over the whole frame (f32 stats)
-    hf = hmid.astype(jnp.float32)
-    gx = jnp.sqrt(jnp.sum(hf * hf, axis=0, keepdims=True))      # (1, 4c)
+    # GRN (common.py:158-169): per-channel L2 over the whole frame — stats
+    # are PER FRAME (per-sample semantics), so reduce over h*w only
+    hf = hmid.astype(jnp.float32).reshape(f, h * w, 4 * c)
+    gx = jnp.sqrt(jnp.sum(hf * hf, axis=1, keepdims=True))      # (f, 1, 4c)
     nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
     hmid = ((gg_ref[:].astype(jnp.float32) * nx) * hf
-            + gb_ref[:].astype(jnp.float32) + hf).astype(jnp.bfloat16)
+            + gb_ref[:].astype(jnp.float32) + hf
+            ).astype(jnp.bfloat16).reshape(f * h * w, 4 * c)
 
     # pw2 (MXU) + residual
     out = jnp.dot(hmid, w2_ref[:], preferred_element_type=jnp.float32)
     out = out + b2_ref[:].astype(jnp.float32)
-    res = jax.lax.slice(xpad, (3, 3, 0), (3 + h, 3 + w, c))
-    out_ref[0] = (out.reshape(h, w, c) + res.astype(jnp.float32)
+    res = jax.lax.slice(xpad, (0, 3, 3, 0), (f, 3 + h, 3 + w, c))
+    out_ref[:] = (out.reshape(f, h, w, c) + res.astype(jnp.float32)
                   ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "fps"))
 def convnext_block_fused(x: jnp.ndarray, params: dict,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False, fps: int = 1) -> jnp.ndarray:
     """x: (B, H, W, C); params: the ConvNeXtBlock param subtree
-    (dwconv/norm/pwconv1/grn/pwconv2). Returns the block output."""
+    (dwconv/norm/pwconv1/grn/pwconv2). Returns the block output.
+    fps = frames per grid step (must divide B; see frames_per_step)."""
     b, h, w, c = x.shape
+    assert b % fps == 0, (b, fps)
     xpad = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
 
     dw = params["dwconv"]["kernel"].reshape(7, 7, c)  # HWIO (7,7,1,C)
@@ -119,12 +140,12 @@ def convnext_block_fused(x: jnp.ndarray, params: dict,
     b2 = params["pwconv2"]["bias"]
 
 
-    kern = functools.partial(_kernel, h=h, w=w, c=c)
+    kern = functools.partial(_kernel, f=fps, h=h, w=w, c=c)
     return pl.pallas_call(
         kern,
-        grid=(b,),
+        grid=(b // fps,),
         in_specs=[
-            pl.BlockSpec((1, h + 6, w + 6, c), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((fps, h + 6, w + 6, c), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((7, 7, c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
@@ -137,7 +158,7 @@ def convnext_block_fused(x: jnp.ndarray, params: dict,
             pl.BlockSpec((4 * c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((fps, h, w, c), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
         interpret=interpret,

@@ -14,7 +14,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .convnext_block import convnext_block_fused, supports_block
+from .convnext_block import (convnext_block_fused, frames_per_step,
+                             supports_block)
 
 
 def _channel_ln(x, p, eps=1e-6):
@@ -103,10 +104,11 @@ def convnext_apply_fused(params: dict, x: jnp.ndarray,
             x = x + params[f"down{i}_conv"]["bias"].astype(x.dtype)
         h, w = x.shape[-3], x.shape[-2]
         fused_ok = supports_block(h, w, dims[i]) and (on_tpu or interpret)
+        fps = frames_per_step(x.shape[0], h, w, dims[i])
         for j in range(depths[i]):
             p = params[f"stage{i}_block{j}"]
             if fused_ok:
-                x = convnext_block_fused(x, p, interpret=interpret)
+                x = convnext_block_fused(x, p, interpret=interpret, fps=fps)
             else:
                 x = _block_xla(x, p)
     return x
