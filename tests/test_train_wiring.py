@@ -37,6 +37,18 @@ class TestInTrainEval:
         assert any(s.endswith("_wm.png") for s in snaps)
         assert any(s.endswith("_diff.png") for s in snaps)
 
+    def test_geometric_grid_rows(self, tmp_path):
+        """--eval_augs geometric logs rotate/perspective trajectory rows."""
+        _run_train(tmp_path, ["--eval_freq", "2", "--eval_samples", "2",
+                              "--eval_augs", "geometric"])
+        rows = [json.loads(l) for l in
+                open(os.path.join(tmp_path, "eval.jsonl"))]
+        assert len(rows) == 1
+        for k in ("bit_acc_rotate_10", "bit_acc_rotate_30",
+                  "bit_acc_crop_0.5", "bit_acc_perspective_0.3",
+                  "bit_acc_perspective_0.5", "bit_acc_jpeg_60"):
+            assert k in rows[0], (k, sorted(rows[0]))
+
     def test_eval_freq_zero_disables(self, tmp_path):
         _run_train(tmp_path, ["--eval_freq", "0"])
         assert not os.path.exists(os.path.join(tmp_path, "eval.jsonl"))

@@ -50,6 +50,24 @@ def get_validation_augs_subset(is_video: bool = False) -> list:
     ]
 
 
+def get_validation_augs_geometric(is_video: bool = False) -> list:
+    """Compact grid for tracking geometric-robustness training (Stage-C).
+
+    Not a reference grid: the reference's in-training sweep uses the full or
+    subset grids above; this one exists because each row is a separately
+    jitted program and the full grid (~80 rows) costs minutes of remote
+    compiles per training run, while the subset grid has no rotate or
+    perspective row to watch."""
+    return [
+        (A.Identity(), [0]),
+        (A.Rotate(), [10, 30]),
+        (A.Crop(), [0.5]),
+        (A.Perspective(), [0.3, 0.5]),
+        (A.Brightness(), [1.5]),
+        (A.JPEG(), [60]) if not is_video else (_codec("h264"), [30]),
+    ]
+
+
 def get_combined_augs(is_video: bool = False) -> list:
     first = (_codec("h264") if is_video else A.JPEG())
     vals = [23, 30, 40, 50] if is_video else [40, 60, 80]

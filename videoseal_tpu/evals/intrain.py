@@ -30,6 +30,7 @@ def make_intrain_eval(mods, eval_augs: str = "subset"):
     ``imgs`` is a held-out (B, H, W, 3) float batch in [0, 1].
     """
     from ..augmentation.validation import (get_validation_augs,
+                                           get_validation_augs_geometric,
                                            get_validation_augs_subset)
 
     cfg = mods.cfg
@@ -60,6 +61,8 @@ def make_intrain_eval(mods, eval_augs: str = "subset"):
         grid = get_validation_augs(is_video=False, only_identity=True)
     elif eval_augs == "full":
         grid = get_validation_augs(is_video=False)
+    elif eval_augs == "geometric":
+        grid = get_validation_augs_geometric(is_video=False)
     else:
         grid = get_validation_augs_subset(is_video=False)
 

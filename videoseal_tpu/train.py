@@ -82,7 +82,7 @@ def get_parser():
                    help="run the in-training eval sweep every N epochs "
                         "(reference train.py:532-544; 0 disables)")
     p.add_argument("--eval_augs", default="subset",
-                   choices=["identity", "subset", "full"],
+                   choices=["identity", "subset", "geometric", "full"],
                    help="validation grid for the in-training sweep")
     p.add_argument("--eval_samples", type=int, default=8,
                    help="held-out images for the in-training eval")
