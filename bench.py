@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--layout", default="planar", choices=["planar", "nhwc"],
                     help="uint8 frame layout: padded planar RGB (what the "
                          "native decoder writes; fastest) or interleaved NHWC")
+    ap.add_argument("--trace_dir", default=None,
+                    help="after measuring, capture a jax.profiler trace of "
+                         "one chained run of the scored pipeline")
     args = ap.parse_args()
 
     import jax
@@ -157,6 +160,12 @@ def main():
         "runs": [round(f, 1) for f in fpss],
         "spread_pct": round(spread, 2),
     }))
+
+    if args.trace_dir:
+        # the chain is already compiled; 4 iterations give clean steady-state
+        # steps in the timeline without a compile event in the capture
+        with jax.profiler.trace(args.trace_dir):
+            _ = float(chained(frames, msgs, 4))
 
 
 if __name__ == "__main__":

@@ -43,6 +43,18 @@ _LUM_W = np.array([[1., 1., 1., 1., 1.],
                    [1., 1., 1., 1., 1.]], np.float32)
 
 
+def _pow12(u):
+    """u**1.2 = cm**2.4 on u = cm**2 > 0 (modules/jnd.py:96) without the
+    sqrt the cm formulation implies: log(cm) = 0.5*log(cm2).
+
+    Negative result, measured round 3: a transcendental-free Newton
+    fifth-root version (bit-hack guess + 3 iterations, ~1e-5 rel err) ran
+    1.06x SLOWER than this (18.3 vs 17.3 ms isolated planar blend @128f
+    1080p) — v5e's VPU exp/log are fast primitives; the blend kernels are
+    bound by total vector-op count, not by transcendentals."""
+    return jnp.exp(jnp.log(u) * 1.2)
+
+
 def _pick_tile(h: int, w: int = 1920) -> int | None:
     """Largest row-tile dividing h, multiple of 8 (Mosaic sublane constraint
     on the output block), sized so the kernel's VMEM working set (~30 live
@@ -152,8 +164,7 @@ def _kernel(si_ref, sw_ref, img_hbm, pred_hbm, out_ref,
           + 2.0 * jax.lax.slice(s_diff, (0, 2), (th, 2 + w))
           + jax.lax.slice(s_diff, (0, 3), (th, 3 + w)))
     cm2 = gx * gx + gy * gy
-    cm = jnp.sqrt(cm2)
-    cm = 16.0 * jnp.exp(jnp.log(jnp.maximum(cm, 1e-20)) * 2.4) / (cm2 + 676.0)
+    cm = 16.0 * _pow12(jnp.maximum(cm2, 1e-20)) / (cm2 + 676.0)
     cm = jnp.where(cm2 > 0.0, cm, 0.0)
     cm = 0.117 * cm
 
@@ -240,8 +251,7 @@ def _delta_kernel(sw_ref, lum_hbm, pred_hbm, out_ref,
           + 2.0 * jax.lax.slice(s_diff, (0, 2), (th, 2 + w))
           + jax.lax.slice(s_diff, (0, 3), (th, 3 + w)))
     cm2 = gx * gx + gy * gy
-    cm = jnp.sqrt(cm2)
-    cm = 16.0 * jnp.exp(jnp.log(jnp.maximum(cm, 1e-20)) * 2.4) / (cm2 + 676.0)
+    cm = 16.0 * _pow12(jnp.maximum(cm2, 1e-20)) / (cm2 + 676.0)
     cm = jnp.where(cm2 > 0.0, cm, 0.0)
     cm = 0.117 * cm
 
@@ -305,8 +315,7 @@ def _jnd_heatmap_tile(lum, th: int, w: int, wp: int, co: int = 2):
           + 2.0 * jax.lax.slice(s_diff, (0, co), (th, co + w))
           + jax.lax.slice(s_diff, (0, co + 1), (th, co + 1 + w)))
     cm2 = gx * gx + gy * gy
-    cm = jnp.sqrt(cm2)
-    cm = 16.0 * jnp.exp(jnp.log(jnp.maximum(cm, 1e-20)) * 2.4) / (cm2 + 676.0)
+    cm = 16.0 * _pow12(jnp.maximum(cm2, 1e-20)) / (cm2 + 676.0)
     cm = jnp.where(cm2 > 0.0, cm, 0.0)
     cm = 0.117 * cm
     return jnp.maximum(la + cm - 0.3 * jnp.minimum(la, cm), 0.0) * (1.0 / 255.0)
