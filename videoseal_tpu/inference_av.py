@@ -1,11 +1,14 @@
 """Video+audio watermarking (parity: reference inference_av.py).
 
-Watermarks the video stream and carries the ORIGINAL audio through untouched
-(stream copy via the native remuxer). The reference additionally watermarks
-audio with AudioSeal (inference_av.py:83-108) — an external model family out
-of scope here; the audio hook point is `audio_processor` for plugging one in.
+Watermarks the video stream and, with --audio_wm 1, the audio track too
+(spread-spectrum, audio_wm.py); otherwise the original audio is stream-copied
+via the native remuxer. The reference watermarks audio with AudioSeal
+(inference_av.py:83-108) — an external learned model family; the
+`audio_processor` hook accepts any replacement (audio_wm.make_audio_processor
+is the built-in one).
 
-  python -m videoseal_tpu.inference_av --input in.mp4 --output out.mp4
+  python -m videoseal_tpu.inference_av --input in.mp4 --output out.mp4 \
+      [--audio_wm 1]
 """
 
 from __future__ import annotations
@@ -67,13 +70,26 @@ def main():
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--crf", type=int, default=18)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--audio_wm", type=int, default=0,
+                    help="watermark the audio track too (spread-spectrum "
+                         "audio_wm.py; the reference uses AudioSeal here)")
+    ap.add_argument("--audio_nbits", type=int, default=16)
     args = ap.parse_args()
 
     import videoseal_tpu as vs
     model = vs.load(args.card, checkpoint=args.checkpoint)
     if args.dtype != "float32":
         model = model.with_dtype(args.dtype)
-    info = embed_av(model, args.input, args.output)
+    audio_processor = None
+    if args.audio_wm:
+        import numpy as np
+        from .audio_wm import SpreadSpectrumAudio, make_audio_processor
+        wm = SpreadSpectrumAudio(nbits=args.audio_nbits)
+        audio_msg = wm.get_random_msg(np.random.default_rng(0))
+        audio_processor = make_audio_processor(audio_msg, wm)
+        print(f"audio msg: {''.join(map(str, audio_msg))}")
+    info = embed_av(model, args.input, args.output,
+                    audio_processor=audio_processor)
     print(f"embedded {info['frames']} frames -> {args.output} "
           f"(audio={'copied' if info.get('audio') else 'none'})")
 
