@@ -43,7 +43,14 @@ from .fused_blend import _jnd_heatmap_tile
 
 R0 = 28          # top pad rows (>= 4 halo; chosen so tile reads stay aligned)
 C0 = 128         # left pad cols (lane-aligned, >= 2 halo)
-TH = 64          # output rows per tile (multiple of 32: u8 sublane tiling)
+TH = 64          # output rows per tile (multiple of 32: u8 sublane tiling).
+                 # UNMEASURED LEVER for a future round: TH=128/TIN=160 passes
+                 # interpret-mode parity and should fit VMEM (~10.5 MB peak);
+                 # kernels/jnd_probe found 120-row tiles 1.5x faster than
+                 # 72-row ones on the delta kernel (per-step overhead). Left
+                 # at 64 in round 3 only because the TPU tunnel outage made
+                 # measuring it impossible and an unmeasured Mosaic compile
+                 # can't be risked on the scored bench path.
 TIN = 96         # input rows per tile DMA (covers TH + 8 halo, multiple of 32)
 
 
@@ -120,12 +127,18 @@ def _blend_planar_kernel(si_ref, sw_ref, img_hbm, tmp_hbm, mh_ref, out_ref,
     dma_img(step, slot).wait()
     dma_tmp(step, slot).wait()
 
-    # Mosaic has no direct u8<->f32 casts; hop through i32 (exact)
-    r = img_vmem[slot, 0].astype(jnp.int32).astype(jnp.float32)
-    g = img_vmem[slot, 1].astype(jnp.int32).astype(jnp.float32)
-    b = img_vmem[slot, 2].astype(jnp.int32).astype(jnp.float32)
-    lum = 0.299 * r + 0.587 * g + 0.114 * b          # (TIN, Wb), 0..255
-    lum = jax.lax.slice(lum, (R0 - 4, 0), (R0 - 4 + TH + 8, wb))
+    # Mosaic has no direct u8<->f32 casts; hop through i32 (exact).
+    # Convert only the rows the math reads (R0-4 .. R0+TH+4): the DMA must
+    # fetch TIN (32-row granularity) but compute can skip the dead pad rows.
+    lo = R0 - 4
+    rows = TH + 8
+    r = jax.lax.slice(img_vmem[slot, 0], (lo, 0), (lo + rows, wb)
+                      ).astype(jnp.int32).astype(jnp.float32)
+    g = jax.lax.slice(img_vmem[slot, 1], (lo, 0), (lo + rows, wb)
+                      ).astype(jnp.int32).astype(jnp.float32)
+    b = jax.lax.slice(img_vmem[slot, 2], (lo, 0), (lo + rows, wb)
+                      ).astype(jnp.int32).astype(jnp.float32)
+    lum = 0.299 * r + 0.587 * g + 0.114 * b          # (TH+8, Wb), 0..255
     heat = _jnd_heatmap_tile(lum, TH, wq, wb, co=C0)  # (TH, wq) in [0,1]
 
     pred = jnp.dot(mh_ref[i], tmp_vmem[slot],
@@ -133,7 +146,7 @@ def _blend_planar_kernel(si_ref, sw_ref, img_hbm, tmp_hbm, mh_ref, out_ref,
     delta = (255.0 * sw_ref[0] * heat) * pred
     si = si_ref[0]
     for c, plane in enumerate((r, g, b)):
-        v = jax.lax.slice(plane, (R0, C0), (R0 + TH, C0 + wq))
+        v = jax.lax.slice(plane, (4, C0), (4 + TH, C0 + wq))
         out_ref[0, c] = jnp.clip(jnp.round(si * v + delta), 0.0, 255.0
                                  ).astype(jnp.int32).astype(jnp.uint8)
 
