@@ -64,10 +64,10 @@ def main():
 
     if planar:
         @jax.jit
-        def embed_extract(frames, msgs):
+        def embed_extract(frames, msgs, gain=None):
             imgs_w = embed_pipeline_planar(emb_mod, att, cfg, evars, frames,
                                            msgs, jnp.float32(0.2),
-                                           jnp.float32(1.0), H, W)
+                                           jnp.float32(1.0), H, W, gain=gain)
             preds = detect_pipeline_planar(ext_mod, cfg, xvars, imgs_w, H, W)
             return imgs_w, preds
     else:
@@ -106,21 +106,22 @@ def main():
     # separately and subtracted.
     if planar:
         # the planar output layout differs from the input buffer, so the
-        # chain rides a tiny data-dependent perturbation of the input
-        # (runtime-zero, but unprovable to XLA: nothing frame-dependent can
-        # be hoisted out of the loop)
+        # chain rides the loop dependence through `gain` — a runtime-1.0
+        # multiplier on the key-resize height matrix (the FIRST consumer of
+        # the frames). Every stage downstream depends on it, so nothing can
+        # be hoisted out of the loop, and the frame buffer itself stays
+        # untouched (an earlier dynamic_update_slice perturbation cost a
+        # 3.6 ms full-buffer copy per iteration — harness overhead the
+        # round-3 trace attributed to "copies").
         @jax.jit
         def chained(frames, msgs, k):
             def body(i, carry):
-                fr, acc = carry
-                eps = (acc * 1e-30).astype(jnp.uint8)   # 0 at runtime
-                fr = jax.lax.dynamic_update_slice(
-                    fr, fr[:1, :1, :32, :128] + eps, (0, 0, 0, 0))
-                imgs_w, preds = embed_extract(fr, msgs)
-                return (fr, acc + preds[0, 0]
+                acc = carry
+                gain = 1.0 + acc * 1e-30                # 1.0 at runtime
+                imgs_w, preds = embed_extract(frames, msgs, gain)
+                return (acc + preds[0, 0]
                         + imgs_w[0, 0, 0, 0].astype(jnp.float32))
-            _, acc = jax.lax.fori_loop(0, k, body, (frames, jnp.float32(0.0)))
-            return acc
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
     else:
         @jax.jit
         def chained(frames, msgs, k):

@@ -81,6 +81,24 @@ class TestFusedPlanar:
                               precision="highest")
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
+    def test_resize_planar_bf16_serving_path(self):
+        """Non-highest precision takes the bf16 fast path: u8 values are
+        exact in bf16, so the only rounding is the weight tables + the bf16
+        intermediate (~0.5 LSB at 8-bit scale). The `gain` measurement hook
+        at 1.0 must be bit-exact (bench.py's loop-dependence rides it)."""
+        rng = np.random.default_rng(7)
+        F, H, W, s = 2, 200, 312, 64
+        imgs = jnp.asarray(rng.integers(0, 256, (F, H, W, 3)), jnp.uint8)
+        imgs_p = pack_planar(imgs)
+        ref = resize_planar(imgs_p, H, W, s, s)                 # f32 highest
+        fast = resize_planar(imgs_p, H, W, s, s, precision="default")
+        assert fast.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=3.0 / 255.0)
+        gained = resize_planar(imgs_p, H, W, s, s, precision="default",
+                               gain=jnp.float32(1.0))
+        assert bool((fast == gained).all())
+
 
 class TestPlanarPipeline:
     def test_embed_pipeline_planar_matches_nhwc(self):

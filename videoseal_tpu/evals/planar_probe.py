@@ -1,0 +1,65 @@
+"""Isolated timing for the planar JND+blend kernel at different tile heights.
+
+The round-3 trace ledger attributes 13.9 ms pipelined / 17.3 ms isolated to
+`fused_jnd_blend_planar` at TH=64 and names TH=128/TIN=160 as the unmeasured
+lever (per-step overhead dominated the delta kernel at small tiles:
+kernels/jnd_probe found 120-row tiles 1.5x faster than 72-row ones). This
+probe A/Bs tile heights in a fresh process each (TH is a module constant and
+jit caches don't key on it).
+
+Usage:
+  python -m videoseal_tpu.evals.planar_probe --th 64
+  python -m videoseal_tpu.evals.planar_probe --th 128
+
+Prints one JSON line: {"th": ..., "ms": ..., "per_frame_us": ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--th", type=int, default=64)
+    ap.add_argument("--frames", type=int, default=128)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--proc", type=int, default=256)
+    ap.add_argument("--k", type=int, default=8)
+    args = ap.parse_args()
+
+    from videoseal_tpu.kernels import fused_planar as fp
+
+    assert args.th % 32 == 0, "TH must be a multiple of 32 (u8 sublane tiling)"
+    fp.TH = args.th
+    fp.TIN = args.th + 32          # covers TH + 8 halo at 32-row granularity
+
+    import jax.numpy as jnp
+    from videoseal_tpu.evals.stage_bench import time_stage
+
+    rng = np.random.default_rng(0)
+    frames_u8 = np.asarray(rng.integers(
+        0, 256, (args.frames, args.height, args.width, 3)), np.uint8)
+    imgs_p = fp.pack_planar(frames_u8)
+    preds = jnp.asarray(rng.uniform(-1, 1, (args.frames, args.proc, args.proc)),
+                        jnp.float32)
+
+    def blend(a, e):
+        ip, pr = a
+        return fp.fused_jnd_blend_planar(
+            ip, pr, jnp.float32(0.2) * (1 + e), jnp.float32(1.0),
+            h=args.height, w=args.width)
+
+    dt = time_stage(blend, (imgs_p, preds), args.k)
+    print(json.dumps({"th": args.th, "tin": fp.TIN,
+                      "ms": round(dt * 1e3, 2),
+                      "per_frame_us": round(dt * 1e6 / args.frames, 1)}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

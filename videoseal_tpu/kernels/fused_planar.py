@@ -225,11 +225,25 @@ def fused_jnd_blend_planar(imgs_p: jnp.ndarray, pred_low: jnp.ndarray,
 
 def resize_planar(imgs_p: jnp.ndarray, h: int, w: int, out_h: int, out_w: int,
                   r0: int = R0, c0: int = C0,
-                  precision: str = "highest") -> jnp.ndarray:
+                  precision: str = "highest", gain=None) -> jnp.ndarray:
     """Bilinear+antialias resize straight out of a padded planar buffer:
     (F, 3, Hp, Wb) u8 -> (F, out_h, out_w, 3) f32 in [0, 1]. The row/col
     offsets are folded into the resize matrices (zero-cost: the matmul just
-    reads the padded axes), so no slice copy of the full-res frame is made."""
+    reads the padded axes), so no slice copy of the full-res frame is made.
+
+    precision="highest" converts the planes to f32 and runs 6-pass matmuls
+    (bit-parity with ops.resize). Any other precision takes the serving fast
+    path: u8 integer values are EXACT in bfloat16, so the planes are cast to
+    bf16 (half the materialization traffic) and the matmuls run single-pass
+    on the MXU — the rounding (~0.5 LSB at 8-bit scale, from the bf16 weight
+    tables + the bf16 intermediate) matches what precision="default" already
+    does on the NHWC path, and the downstream extractor computes in bf16
+    anyway.
+
+    `gain` (traced scalar, value 1.0) multiplies the height matrix: a
+    value-preserving data-dependence hook so benchmark loops can force
+    re-execution without copying the frame buffer (see bench.py).
+    """
     from ..ops.resize import _resize_matrix
 
     f, c, hp, wb = imgs_p.shape
@@ -237,7 +251,20 @@ def resize_planar(imgs_p: jnp.ndarray, h: int, w: int, out_h: int, out_w: int,
     mh[:, r0:r0 + h] = _resize_matrix(h, out_h, antialias=True)
     mw = np.zeros((out_w, wb), np.float32)
     mw[:, c0:c0 + w] = _resize_matrix(w, out_w, antialias=True)
-    x = imgs_p.astype(jnp.float32) * (1.0 / 255.0)
-    y = jnp.einsum("Hh,fchw->fcHw", jnp.asarray(mh), x, precision=precision)
-    y = jnp.einsum("Ww,fchw->fchW", jnp.asarray(mw), y, precision=precision)
-    return jnp.transpose(y, (0, 2, 3, 1))
+    if precision == "highest":
+        mh_j = jnp.asarray(mh)
+        if gain is not None:
+            mh_j = mh_j * gain
+        x = imgs_p.astype(jnp.float32) * (1.0 / 255.0)
+        y = jnp.einsum("Hh,fchw->fcHw", mh_j, x, precision=precision)
+        y = jnp.einsum("Ww,fchw->fchW", jnp.asarray(mw), y,
+                       precision=precision)
+        return jnp.transpose(y, (0, 2, 3, 1))
+    mh_j = jnp.asarray(mh, jnp.bfloat16)
+    if gain is not None:
+        mh_j = mh_j * jnp.asarray(gain).astype(jnp.bfloat16)
+    x = imgs_p.astype(jnp.bfloat16)          # exact: u8 integers <= 255
+    y = jnp.einsum("Hh,fchw->fcHw", mh_j, x)
+    y = jnp.einsum("Ww,fchw->fchW", jnp.asarray(mw, jnp.bfloat16), y,
+                   preferred_element_type=jnp.float32)
+    return jnp.transpose(y, (0, 2, 3, 1)) * (1.0 / 255.0)

@@ -289,7 +289,7 @@ def _detect_resized(extractor, cfg: PipelineConfig, variables, imgs_res):
 def embed_pipeline_planar(embedder, attenuation: JND | None,
                           cfg: PipelineConfig, variables, imgs_p, msgs,
                           scaling_w, scaling_i, h: int, w: int,
-                          interpret: bool = False):
+                          interpret: bool = False, gain=None):
     """Planar-u8 video serving embed: the production fast path.
 
     imgs_p: (F, 3, Hp, Wb) uint8 padded planar frames
@@ -308,7 +308,8 @@ def embed_pipeline_planar(embedder, attenuation: JND | None,
     s = cfg.img_size
     run_embedder = _make_run_embedder(embedder, cfg, variables)
     keys = resize_planar(imgs_p[::cfg.step_size], h, w, s, s,
-                         precision=cfg.resize_precision)   # (K, s, s, 3) [0,1]
+                         precision=cfg.resize_precision,
+                         gain=gain)                        # (K, s, s, 3) [0,1]
     key_msgs = jnp.broadcast_to(msgs[:1], (keys.shape[0], msgs.shape[-1]))
     preds = _chunked_apply(run_embedder, (keys, key_msgs), cfg.chunk_size)
     preds = _expand_video_mode(preds, imgs_p.shape[0], cfg.step_size,
