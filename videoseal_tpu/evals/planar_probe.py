@@ -1,11 +1,11 @@
 """Isolated timing for the planar JND+blend kernel at different tile heights.
 
 The round-3 trace ledger attributes 13.9 ms pipelined / 17.3 ms isolated to
-`fused_jnd_blend_planar` at TH=64 and names TH=128/TIN=160 as the unmeasured
-lever (per-step overhead dominated the delta kernel at small tiles:
-kernels/jnd_probe found 120-row tiles 1.5x faster than 72-row ones). This
-probe A/Bs tile heights in a fresh process each (TH is a module constant and
-jit caches don't key on it).
+`fused_jnd_blend_planar` at TH=64 and named TH=128/TIN=160 as the unmeasured
+lever. Round-4 measurements (this probe, 128f @1080p): TH=64 14.25 ms,
+TH=96 13.36 ms (now the module default), TH=128 OOMs the 16 MB scoped-VMEM
+stack. Tile geometry is passed explicitly (th=/tin= kwargs), so A/B runs
+need no module monkey-patching and any jit-cache state is irrelevant.
 
 Usage:
   python -m videoseal_tpu.evals.planar_probe --th 64
@@ -35,8 +35,7 @@ def main():
     from videoseal_tpu.kernels import fused_planar as fp
 
     assert args.th % 32 == 0, "TH must be a multiple of 32 (u8 sublane tiling)"
-    fp.TH = args.th
-    fp.TIN = args.th + 32          # covers TH + 8 halo at 32-row granularity
+    th, tin = args.th, args.th + 32    # tin covers th + 8 halo, 32-row grain
 
     import jax.numpy as jnp
     from videoseal_tpu.evals.stage_bench import time_stage
@@ -44,7 +43,7 @@ def main():
     rng = np.random.default_rng(0)
     frames_u8 = np.asarray(rng.integers(
         0, 256, (args.frames, args.height, args.width, 3)), np.uint8)
-    imgs_p = fp.pack_planar(frames_u8)
+    imgs_p = fp.pack_planar(frames_u8, th=th, tin=tin)
     preds = jnp.asarray(rng.uniform(-1, 1, (args.frames, args.proc, args.proc)),
                         jnp.float32)
 
@@ -52,10 +51,10 @@ def main():
         ip, pr = a
         return fp.fused_jnd_blend_planar(
             ip, pr, jnp.float32(0.2) * (1 + e), jnp.float32(1.0),
-            h=args.height, w=args.width)
+            h=args.height, w=args.width, th=th, tin=tin)
 
     dt = time_stage(blend, (imgs_p, preds), args.k)
-    print(json.dumps({"th": args.th, "tin": fp.TIN,
+    print(json.dumps({"th": th, "tin": tin,
                       "ms": round(dt * 1e3, 2),
                       "per_frame_us": round(dt * 1e6 / args.frames, 1)}),
           flush=True)

@@ -43,36 +43,40 @@ from .fused_blend import _jnd_heatmap_tile
 
 R0 = 28          # top pad rows (>= 4 halo; chosen so tile reads stay aligned)
 C0 = 128         # left pad cols (lane-aligned, >= 2 halo)
-TH = 64          # output rows per tile (multiple of 32: u8 sublane tiling).
-                 # UNMEASURED LEVER for a future round: TH=128/TIN=160 passes
-                 # interpret-mode parity and should fit VMEM (~10.5 MB peak);
-                 # kernels/jnd_probe found 120-row tiles 1.5x faster than
-                 # 72-row ones on the delta kernel (per-step overhead). Left
-                 # at 64 in round 3 only because the TPU tunnel outage made
-                 # measuring it impossible and an unmeasured Mosaic compile
-                 # can't be risked on the scored bench path.
-TIN = 96         # input rows per tile DMA (covers TH + 8 halo, multiple of 32)
+TH = 96          # output rows per tile (multiple of 32: u8 sublane tiling).
+                 # Measured round 4 (evals/planar_probe, 128f @1080p):
+                 # TH=64 14.25 ms, TH=96 13.36 ms, TH=128 OOMs the 16 MB
+                 # scoped-VMEM stack (17.37M) at the default limit. 96 wins.
+TIN = 128        # input rows per tile DMA (covers TH + 8 halo, multiple of 32)
 
 
-def planar_geometry(h: int, w: int):
-    """(n_tiles, padded_h, padded_w, wq) for an HxW image."""
-    n_tiles = -(-h // TH)
-    hp = TH * n_tiles + (TIN - TH)       # last tile reads (n-1)*TH .. +TIN
+def planar_geometry(h: int, w: int, th: int | None = None,
+                    tin: int | None = None):
+    """(n_tiles, padded_h, padded_w, wq) for an HxW image.
+
+    th/tin override the module-default tile geometry (probe use:
+    evals/planar_probe A/Bs tile heights without monkey-patching globals)."""
+    th = th or TH
+    tin = tin or TIN
+    n_tiles = -(-h // th)
+    hp = th * n_tiles + (tin - th)       # last tile reads (n-1)*th .. +tin
     wq = -(-w // 128) * 128
     return n_tiles, hp, wq + 2 * C0, wq
 
 
-def planar_shape(f: int, h: int, w: int) -> tuple[int, int, int, int]:
+def planar_shape(f: int, h: int, w: int, th: int | None = None,
+                 tin: int | None = None) -> tuple[int, int, int, int]:
     """Buffer shape (F, 3, Hp, Wb) for F HxW frames."""
-    _, hp, wb, _ = planar_geometry(h, w)
+    _, hp, wb, _ = planar_geometry(h, w, th, tin)
     return (f, 3, hp, wb)
 
 
-def pack_planar(imgs: np.ndarray | jnp.ndarray) -> jnp.ndarray:
+def pack_planar(imgs: np.ndarray | jnp.ndarray, th: int | None = None,
+                tin: int | None = None) -> jnp.ndarray:
     """(F, H, W, 3) u8 NHWC -> padded planar (F, 3, Hp, Wb) u8 (tests/compat;
     production decoders fill the planar buffer directly)."""
     f, h, w, _ = imgs.shape
-    _, hp, wb, _ = planar_geometry(h, w)
+    _, hp, wb, _ = planar_geometry(h, w, th, tin)
     out = jnp.zeros((f, 3, hp, wb), jnp.uint8)
     return out.at[:, :, R0:R0 + h, C0:C0 + w].set(
         jnp.transpose(jnp.asarray(imgs), (0, 3, 1, 2)))
@@ -86,7 +90,7 @@ def unpack_planar(imgs_p: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 def _blend_planar_kernel(si_ref, sw_ref, img_hbm, tmp_hbm, mh_ref, out_ref,
                          img_vmem, tmp_vmem, sem_img, sem_tmp, *, wq: int,
                          wb: int, band: int, in_h: int, out_h: int,
-                         n_tiles: int, n_steps: int):
+                         n_tiles: int, n_steps: int, th: int, tin: int):
     i = pl.program_id(1)
     step = pl.program_id(0) * n_tiles + i
     slot = jax.lax.rem(step, 2)
@@ -96,7 +100,7 @@ def _blend_planar_kernel(si_ref, sw_ref, img_hbm, tmp_hbm, mh_ref, out_ref,
         # 8-aligned start (clip in units of 8, multiply LAST so Mosaic can
         # prove divisibility — see fused_jnd_delta_up). Must mirror the
         # host-side mh band packing exactly (same out_h = true image height).
-        s8 = jax.lax.div(jax.lax.div(ts * TH * in_h, out_h) - 1, 8)
+        s8 = jax.lax.div(jax.lax.div(ts * th * in_h, out_h) - 1, 8)
         s8 = jnp.clip(s8, 0, (in_h - band) // 8)
         return s8 * 8
 
@@ -104,7 +108,7 @@ def _blend_planar_kernel(si_ref, sw_ref, img_hbm, tmp_hbm, mh_ref, out_ref,
         fs = jax.lax.div(s, n_tiles)
         ts = jax.lax.rem(s, n_tiles)
         return pltpu.make_async_copy(
-            img_hbm.at[fs, :, pl.ds(ts * TH, TIN)], img_vmem.at[sl],
+            img_hbm.at[fs, :, pl.ds(ts * th, tin)], img_vmem.at[sl],
             sem_img.at[sl])
 
     def dma_tmp(s, sl):
@@ -128,49 +132,58 @@ def _blend_planar_kernel(si_ref, sw_ref, img_hbm, tmp_hbm, mh_ref, out_ref,
     dma_tmp(step, slot).wait()
 
     # Mosaic has no direct u8<->f32 casts; hop through i32 (exact).
-    # Convert only the rows the math reads (R0-4 .. R0+TH+4): the DMA must
-    # fetch TIN (32-row granularity) but compute can skip the dead pad rows.
+    # Convert only the rows the math reads (R0-4 .. R0+th+4): the DMA must
+    # fetch tin (32-row granularity) but compute can skip the dead pad rows.
     lo = R0 - 4
-    rows = TH + 8
+    rows = th + 8
     r = jax.lax.slice(img_vmem[slot, 0], (lo, 0), (lo + rows, wb)
                       ).astype(jnp.int32).astype(jnp.float32)
     g = jax.lax.slice(img_vmem[slot, 1], (lo, 0), (lo + rows, wb)
                       ).astype(jnp.int32).astype(jnp.float32)
     b = jax.lax.slice(img_vmem[slot, 2], (lo, 0), (lo + rows, wb)
                       ).astype(jnp.int32).astype(jnp.float32)
-    lum = 0.299 * r + 0.587 * g + 0.114 * b          # (TH+8, Wb), 0..255
-    heat = _jnd_heatmap_tile(lum, TH, wq, wb, co=C0)  # (TH, wq) in [0,1]
+    lum = 0.299 * r + 0.587 * g + 0.114 * b          # (th+8, Wb), 0..255
+    heat = _jnd_heatmap_tile(lum, th, wq, wb, co=C0)  # (th, wq) in [0,1]
 
     pred = jnp.dot(mh_ref[i], tmp_vmem[slot],
-                   preferred_element_type=jnp.float32)   # (TH, wq)
+                   preferred_element_type=jnp.float32)   # (th, wq)
     delta = (255.0 * sw_ref[0] * heat) * pred
     si = si_ref[0]
     for c, plane in enumerate((r, g, b)):
-        v = jax.lax.slice(plane, (4, C0), (4 + TH, C0 + wq))
+        v = jax.lax.slice(plane, (4, C0), (4 + th, C0 + wq))
         out_ref[0, c] = jnp.clip(jnp.round(si * v + delta), 0.0, 255.0
                                  ).astype(jnp.int32).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "interpret", "th", "tin"))
 def fused_jnd_blend_planar(imgs_p: jnp.ndarray, pred_low: jnp.ndarray,
                            scaling_w, scaling_i, h: int, w: int,
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           th: int | None = None,
+                           tin: int | None = None) -> jnp.ndarray:
     """imgs_p: padded planar (F, 3, Hp, Wb) uint8 (see planar_shape);
     pred_low: (F, s, s) watermark prediction at processing resolution;
-    h/w: the true image dims (static). Returns (F, 3, TH*n_tiles, Wq) uint8
+    h/w: the true image dims (static). Returns (F, 3, th*n_tiles, Wq) uint8
     planar watermarked frames (image at [:h, :w]; rows/cols beyond are junk
     from the zero padding — crop or fold the offset into downstream resizes).
+
+    th/tin: tile geometry override (must match the geometry the buffer was
+    packed with); default is the measured-fastest module constant.
 
     out = clip(round(si*img + 255*sw*jnd_heatmap(img)*upsample(pred)), 0, 255)
     """
     from ..ops.resize import _resize_matrix
 
+    th = th or TH
+    tin = tin or TIN
+    assert th % 32 == 0 and tin == th + 32, (th, tin)
     f, c, hp, wb = imgs_p.shape
-    n_tiles, hp_want, wb_want, wq = planar_geometry(h, w)
+    n_tiles, hp_want, wb_want, wq = planar_geometry(h, w, th, tin)
     assert (c, hp, wb) == (3, hp_want, wb_want), \
         f"buffer {imgs_p.shape} does not match planar_shape for {h}x{w}"
     s = pred_low.shape[-1]
-    band = -(-(TH * s) // h) + 3 + 7
+    band = -(-(th * s) // h) + 3 + 7
     band = max(-(-band // 8) * 8, 8)
     band = min(band, s)
 
@@ -182,12 +195,12 @@ def fused_jnd_blend_planar(imgs_p: jnp.ndarray, pred_low: jnp.ndarray,
         tmp = jnp.pad(tmp, ((0, 0), (0, 0), (0, wq - w)))
 
     # banded height-lift matrices per tile (rows >= h are zero)
-    mh_full = np.zeros((TH * n_tiles, s), np.float32)
+    mh_full = np.zeros((th * n_tiles, s), np.float32)
     mh_full[:h] = _resize_matrix(s, h, antialias=True)
-    mh_packed = np.zeros((n_tiles, TH, band), np.float32)
+    mh_packed = np.zeros((n_tiles, th, band), np.float32)
     for i in range(n_tiles):
-        start = min(max((i * TH * s // h - 1) // 8 * 8, 0), s - band)
-        rows = mh_full[i * TH:(i + 1) * TH]
+        start = min(max((i * th * s // h - 1) // 8 * 8, 0), s - band)
+        rows = mh_full[i * th:(i + 1) * th]
         nz = np.nonzero(rows)[1]
         if nz.size:
             assert nz.min() >= start and nz.max() < start + band, \
@@ -197,7 +210,7 @@ def fused_jnd_blend_planar(imgs_p: jnp.ndarray, pred_low: jnp.ndarray,
 
     kern = functools.partial(_blend_planar_kernel, wq=wq, wb=wb, band=band,
                              in_h=s, out_h=h, n_tiles=n_tiles,
-                             n_steps=f * n_tiles)
+                             n_steps=f * n_tiles, th=th, tin=tin)
     si = jnp.reshape(jnp.asarray(scaling_i, jnp.float32), (1,))
     sw = jnp.reshape(jnp.asarray(scaling_w, jnp.float32), (1,))
     return pl.pallas_call(
@@ -210,11 +223,11 @@ def fused_jnd_blend_planar(imgs_p: jnp.ndarray, pred_low: jnp.ndarray,
             pl.BlockSpec(memory_space=pl.ANY),       # width-resized pred
             pl.BlockSpec(memory_space=pltpu.VMEM),   # mh bands, resident
         ],
-        out_specs=pl.BlockSpec((1, 3, TH, wq), lambda fi, i: (fi, 0, i, 0),
+        out_specs=pl.BlockSpec((1, 3, th, wq), lambda fi, i: (fi, 0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((f, 3, TH * n_tiles, wq), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((f, 3, th * n_tiles, wq), jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, TIN, wb), jnp.uint8),
+            pltpu.VMEM((2, 3, tin, wb), jnp.uint8),
             pltpu.VMEM((2, band, wq), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -232,13 +245,15 @@ def resize_planar(imgs_p: jnp.ndarray, h: int, w: int, out_h: int, out_w: int,
     reads the padded axes), so no slice copy of the full-res frame is made.
 
     precision="highest" converts the planes to f32 and runs 6-pass matmuls
-    (bit-parity with ops.resize). Any other precision takes the serving fast
+    (bit-parity with ops.resize). precision="default" takes the serving fast
     path: u8 integer values are EXACT in bfloat16, so the planes are cast to
     bf16 (half the materialization traffic) and the matmuls run single-pass
-    on the MXU — the rounding (~0.5 LSB at 8-bit scale, from the bf16 weight
-    tables + the bf16 intermediate) matches what precision="default" already
-    does on the NHWC path, and the downstream extractor computes in bf16
-    anyway.
+    on the MXU. The error vs the f32 path comes from the bf16 weight tables
+    AND the bf16-stored height intermediate — worst case ~3 LSB at 8-bit
+    scale (the bound tests/test_fused_planar.py asserts), typical <1 LSB;
+    the downstream extractor computes in bf16 anyway. "high" is rejected:
+    this path has exactly two precision regimes and a silent middle tier
+    would misleadingly take the bf16 path.
 
     `gain` (traced scalar, value 1.0) multiplies the height matrix: a
     value-preserving data-dependence hook so benchmark loops can force
@@ -260,6 +275,10 @@ def resize_planar(imgs_p: jnp.ndarray, h: int, w: int, out_h: int, out_w: int,
         y = jnp.einsum("Ww,fchw->fchW", jnp.asarray(mw), y,
                        precision=precision)
         return jnp.transpose(y, (0, 2, 3, 1))
+    if precision != "default":
+        raise ValueError(
+            f"resize_planar supports precision 'highest' (f32 parity) or "
+            f"'default' (bf16 serving fast path), got {precision!r}")
     mh_j = jnp.asarray(mh, jnp.bfloat16)
     if gain is not None:
         mh_j = mh_j * jnp.asarray(gain).astype(jnp.bfloat16)

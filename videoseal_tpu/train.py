@@ -304,31 +304,63 @@ def main(args=None):
     writer = TensorboardWriter(os.path.join(args.output_dir, "tensorboard"),
                                enabled=bool(args.tensorboard) and is_main)
     eval_fn = None
+    eval_fn_vid = None
     eval_imgs = None
+    eval_clips = None
     if args.eval_freq and "img" in loaders:
         from .evals.intrain import make_intrain_eval
-        eval_fn = make_intrain_eval(mods, eval_augs=args.eval_augs)
+        # representative validation masks (reference train.py:451-452) —
+        # only when localization is actually trained (lambda_det > 0);
+        # otherwise the all-ones default mirrors NoMaskEmbedder.
+        val_masks = None
+        if host_mask_embedder is not None and args.lambda_det > 0:
+            val_masks = [m[0] for m in
+                         host_mask_embedder.sample_representative_masks(
+                             img_size, img_size)]
+        eval_fn = make_intrain_eval(mods, eval_augs=args.eval_augs,
+                                    lambda_det=args.lambda_det,
+                                    validation_masks=val_masks)
         ds_eval = loaders["img"].ds
         n_eval = min(args.eval_samples, len(ds_eval))
         eval_imgs = np.stack([ds_eval[i][0] for i in range(n_eval)])
+    if args.eval_freq and "vid" in loaders:
+        from .evals.intrain import make_intrain_eval
+        eval_fn_vid = make_intrain_eval(mods, eval_augs=args.eval_augs,
+                                        lambda_det=args.lambda_det,
+                                        is_video=True)
+        vds_eval = loaders["vid"].ds
+        n_eval_v = min(max(1, args.eval_samples // args.frames_per_clip),
+                       len(vds_eval))
+        eval_clips = np.stack([vds_eval[i][0] for i in range(n_eval_v)])
 
     def run_eval(state, epoch, it):
-        scalars, imgs_w = eval_fn(state, eval_imgs,
-                                  jax.random.PRNGKey(args.seed + 1))
-        if is_main:
+        rows = []
+        if eval_fn is not None:
+            rows.append(("", eval_fn, eval_imgs))
+        if eval_fn_vid is not None:
+            rows.append(("vid_", eval_fn_vid, eval_clips))
+        for prefix, fn, batch in rows:
+            scalars, imgs_w = fn(state, batch, jax.random.PRNGKey(args.seed + 1))
+            scalars = {prefix + k: v for k, v in scalars.items()}
+            if not is_main:
+                continue
             writer.add_scalars("valid", scalars, it)
             with open(os.path.join(args.output_dir, "eval.jsonl"), "a") as f:
-                f.write(json.dumps({"epoch": epoch, "step": it, **scalars})
-                        + "\n")
+                f.write(json.dumps({"epoch": epoch, "step": it,
+                                    "modality": prefix.rstrip("_") or "img",
+                                    **scalars}) + "\n")
             from .utils.display import create_diff_img, save_img
             snap = os.path.join(args.output_dir, "snapshots")
             os.makedirs(snap, exist_ok=True)
-            wm = np.asarray(imgs_w)
+            ori = np.asarray(batch).reshape((-1,) + batch.shape[-3:])
+            wm = np.asarray(imgs_w).reshape((-1,) + imgs_w.shape[-3:])
             for i in range(min(2, wm.shape[0])):
-                save_img(eval_imgs[i], os.path.join(snap, f"{epoch:03d}_{i}_ori.png"))
-                save_img(wm[i], os.path.join(snap, f"{epoch:03d}_{i}_wm.png"))
-                save_img(create_diff_img(eval_imgs[i], wm[i]),
-                         os.path.join(snap, f"{epoch:03d}_{i}_diff.png"))
+                save_img(ori[i], os.path.join(
+                    snap, f"{epoch:03d}_{prefix}{i}_ori.png"))
+                save_img(wm[i], os.path.join(
+                    snap, f"{epoch:03d}_{prefix}{i}_wm.png"))
+                save_img(create_diff_img(ori[i], wm[i]),
+                         os.path.join(snap, f"{epoch:03d}_{prefix}{i}_diff.png"))
             print("eval @ epoch", epoch,
                   json.dumps({k: round(v, 4) for k, v in scalars.items()}),
                   flush=True)
@@ -388,7 +420,8 @@ def main(args=None):
             epoch += 1
             if epoch % args.saveckpt_freq == 0:
                 _save_ckpt(args, state)
-            if eval_fn is not None and epoch % args.eval_freq == 0:
+            if (eval_fn is not None or eval_fn_vid is not None) \
+                    and epoch % args.eval_freq == 0:
                 run_eval(state, epoch, it)
     _save_ckpt(args, state)
     writer.close()
