@@ -63,12 +63,16 @@ def main():
     H, W = args.height, args.width
 
     if planar:
+        from videoseal_tpu.models.videoseal import _detect_resized
+
         @jax.jit
         def embed_extract(frames, msgs, gain=None):
-            imgs_w = embed_pipeline_planar(emb_mod, att, cfg, evars, frames,
-                                           msgs, jnp.float32(0.2),
-                                           jnp.float32(1.0), H, W, gain=gain)
-            preds = detect_pipeline_planar(ext_mod, cfg, xvars, imgs_w, H, W)
+            # the blend kernel emits the extractor's proc-res input directly
+            # (with_detect_input): no full-res re-read between embed & detect
+            imgs_w, det_in = embed_pipeline_planar(
+                emb_mod, att, cfg, evars, frames, msgs, jnp.float32(0.2),
+                jnp.float32(1.0), H, W, gain=gain, with_detect_input=True)
+            preds = _detect_resized(ext_mod, cfg, xvars, det_in)
             return imgs_w, preds
     else:
         @jax.jit
@@ -107,9 +111,11 @@ def main():
     if planar:
         # the planar output layout differs from the input buffer, so the
         # chain rides the loop dependence through `gain` — a runtime-1.0
-        # multiplier on the key-resize height matrix (the FIRST consumer of
-        # the frames). Every stage downstream depends on it, so nothing can
-        # be hoisted out of the loop, and the frame buffer itself stays
+        # multiplier applied AT THE KEY-FRAME CAST (the first consumer of
+        # the frames; resize_planar applies gain to the u8->bf16 plane
+        # conversion itself so even that materialization is loop-variant
+        # and LICM-proof). Every stage downstream depends on it, so nothing
+        # can be hoisted out of the loop, and the frame buffer itself stays
         # untouched (an earlier dynamic_update_slice perturbation cost a
         # 3.6 ms full-buffer copy per iteration — harness overhead the
         # round-3 trace attributed to "copies").

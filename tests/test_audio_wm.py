@@ -78,3 +78,18 @@ class TestSpreadSpectrum:
         # an order of magnitude above — the decision margin is the ratio
         assert conf.mean() < 0.5
         assert conf_w.min() > 3 * conf.max()
+
+    def test_time_shift_breaks_sync_documented_limitation(self):
+        """Negative test pinning the documented limitation (audio_wm.py
+        docstring): the detector has NO sync search, so a time shift that
+        misaligns the frame grid de-correlates the PN sequences and decoding
+        degrades toward chance. If this test ever fails because shifted
+        decoding works, the limitation doc must be updated."""
+        out = self.wm.embed(self.audio, self.sr, self.msg)
+        shift = self.wm._frame_len(self.sr) // 2       # half-frame misalign
+        shifted = out[:, shift:]
+        bits, conf = self.wm.detect(shifted, self.sr)
+        acc = float((bits == self.msg).mean())
+        assert acc < 0.9, (
+            "time-shifted decode unexpectedly works; update the no-sync "
+            f"limitation note (acc={acc})")

@@ -100,6 +100,62 @@ class TestFusedPlanar:
         assert bool((fast == gained).all())
 
 
+class TestFusedDetectOutput:
+    def test_detect_output_matches_resize_of_u8_output(self):
+        """detect_size path: the in-kernel downscale (width matmul per tile +
+        banded height accumulation) must match resizing the kernel's own u8
+        output — the extractor input the resize_planar detect path would
+        have produced (bf16 matmuls: <=3 LSB at 8-bit scale)."""
+        from videoseal_tpu.ops.resize import resize_bilinear
+        F, H, W, s, ds = 2, 216, 384, 64, 128
+        rng = np.random.default_rng(11)
+        imgs = jnp.asarray(rng.integers(0, 256, (F, H, W, 3)), jnp.uint8)
+        pred_low = jnp.asarray(rng.uniform(-1, 1, (F, s, s)), jnp.float32)
+        imgs_p = pack_planar(imgs)
+        out_p, det = fused_jnd_blend_planar(imgs_p, pred_low, 0.2, 1.0, H, W,
+                                            interpret=True, detect_size=ds)
+        # baseline: same u8 planes resized the pre-fusion way
+        out = unpack_planar(out_p, H, W)
+        ref = resize_bilinear(out.astype(jnp.float32) / 255.0, ds, ds,
+                              precision="highest")
+        got = np.asarray(jnp.transpose(det, (0, 2, 3, 1)))
+        np.testing.assert_allclose(got, np.asarray(ref), atol=3.0 / 255.0)
+
+    def test_pipeline_with_detect_input(self):
+        """embed_pipeline_planar(with_detect_input=True) returns the same u8
+        frames as the plain call plus a proc-res NHWC detect input."""
+        import jax
+        from videoseal_tpu.train import TINY_CARD
+        from videoseal_tpu.models.embedder import build_embedder
+        from videoseal_tpu.models.videoseal import (PipelineConfig,
+                                                    embed_pipeline_planar)
+        from videoseal_tpu.modules.jnd import build_attenuation
+
+        emb = build_embedder(TINY_CARD["embedder"]["model"],
+                             TINY_CARD["embedder"]["params"], 16, 2)
+        cfg = PipelineConfig(img_size=128, yuv=emb.yuv, nbits=16, step_size=2,
+                             chunk_size=8)
+        att = build_attenuation("jnd_1_1")
+        rng = np.random.default_rng(12)
+        F, H, W = 2, 160, 256
+        imgs = jnp.asarray(rng.integers(0, 256, (F, H, W, 3)), jnp.uint8)
+        msgs = jnp.asarray(rng.integers(0, 2, (1, 16)), jnp.int32)
+        variables = emb.module.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 128, 128, 1)),
+                                    jnp.zeros((1, 16), jnp.int32))
+        plain = embed_pipeline_planar(emb.module, att, cfg, variables, imgs_p
+                                      := pack_planar(imgs), msgs, 0.2, 1.0,
+                                      H, W, interpret=True)
+        wm_p, det_in = embed_pipeline_planar(emb.module, att, cfg, variables,
+                                             imgs_p, msgs, 0.2, 1.0, H, W,
+                                             interpret=True,
+                                             with_detect_input=True)
+        assert bool((wm_p == plain).all())
+        assert det_in.shape == (F, 128, 128, 3)
+        assert det_in.dtype == jnp.float32
+        assert 0.0 <= float(det_in.min()) and float(det_in.max()) <= 1.0 + 1e-3
+
+
 class TestPlanarPipeline:
     def test_embed_pipeline_planar_matches_nhwc(self):
         """Full planar embed pipeline == NHWC u8 pipeline (tiny card, CPU)."""

@@ -79,14 +79,22 @@ def _kernel(x_ref, dw_ref, dwb_ref, lnw_ref, lnb_ref, w1_ref, b1_ref,
             *, f: int, h: int, w: int, c: int):
     xpad = x_ref[:]                                   # (f, h+6, w+6, c) bf16
     # depthwise 7x7, f32 accumulation (convnext.py:30); all f frames in one
-    # vector op per tap — amortizes the tap loop's op overhead across frames
-    acc = jnp.zeros((f, h, w, c), jnp.float32)
-    dw = dw_ref[:]                                    # (7, 7, c)
+    # vector op per tap. The bf16->f32 convert happens ONCE per dy row-band
+    # (7 converts) instead of once per tap (49): convert-per-tap was ~1/3 of
+    # the loop's vector passes (round-4 probe: see kernels/convnext_probe).
+    # Per-dy partials also give the scheduler independent accumulation
+    # chains instead of one 49-FMA serial chain.
+    dw = dw_ref[:].astype(jnp.float32)                # (7, 7, c)
+    acc = None
     for dy in range(7):
+        xr = jax.lax.slice(xpad, (0, dy, 0, 0),
+                           (f, dy + h, w + 6, c)).astype(jnp.float32)
+        part = None
         for dx in range(7):
-            tap = jax.lax.slice(xpad, (0, dy, dx, 0),
-                                (f, dy + h, dx + w, c))
-            acc = acc + tap.astype(jnp.float32) * dw[dy, dx].astype(jnp.float32)
+            tap = jax.lax.slice(xr, (0, 0, dx, 0), (f, h, dx + w, c))
+            t = tap * dw[dy, dx]
+            part = t if part is None else part + t
+        acc = part if acc is None else acc + part
     acc = acc + dwb_ref[:].astype(jnp.float32)
 
     # LayerNorm over channels (eps 1e-6, common.py:131-155)

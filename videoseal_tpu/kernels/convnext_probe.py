@@ -47,14 +47,54 @@ def build(variant: str):
             out_ref[0] = acc.astype(out_ref.dtype)
             return
 
-        # full block with shift-hoisted dwconv; gelu on/off by variant
-        xf = xpad.astype(jnp.float32)
-        acc = jnp.zeros((h, w, c), jnp.float32)
-        for dx in range(7):
-            xs = jax.lax.slice(xf, (0, dx, 0), (h + 6, dx + w, c))
+        if variant.startswith("dwconv_perdy"):
+            # convert once per dy row-band; independent per-dy partials
+            # (the round-4 production kernel form)
+            dwf = dw.astype(jnp.float32)
+            acc = None
             for dy in range(7):
-                acc = acc + jax.lax.slice(xs, (dy, 0, 0), (dy + h, w, c)) \
-                    * dw[dy, dx].astype(jnp.float32)
+                xr = jax.lax.slice(xpad, (dy, 0, 0),
+                                   (dy + h, w + 6, c)).astype(jnp.float32)
+                part = None
+                for dx in range(7):
+                    tap = jax.lax.slice(xr, (0, dx, 0), (h, dx + w, c))
+                    t = tap * dwf[dy, dx]
+                    part = t if part is None else part + t
+                acc = part if acc is None else acc + part
+            out_ref[0] = acc.astype(out_ref.dtype)
+            return
+
+        if variant.startswith("dwconv_bf16"):
+            # taps + accumulation fully in bf16 (parity cost ~2^-8 rel;
+            # probes whether the VPU runs bf16 vector FMAs at higher rate)
+            acc = None
+            dwb16 = dw.astype(jnp.bfloat16)
+            for dy in range(7):
+                for dx in range(7):
+                    tap = jax.lax.slice(xpad, (dy, dx, 0), (dy + h, dx + w, c))
+                    t = tap * dwb16[dy, dx]
+                    acc = t if acc is None else acc + t
+            out_ref[0] = acc.astype(out_ref.dtype)
+            return
+
+        # full block; dwconv formulation + gelu by variant
+        if variant.endswith("bf16dw"):
+            dwb16 = dw.astype(jnp.bfloat16)
+            acc16 = None
+            for dy in range(7):
+                for dx in range(7):
+                    tap = jax.lax.slice(xpad, (dy, dx, 0), (dy + h, dx + w, c))
+                    t = tap * dwb16[dy, dx]
+                    acc16 = t if acc16 is None else acc16 + t
+            acc = acc16.astype(jnp.float32)
+        else:
+            xf = xpad.astype(jnp.float32)
+            acc = jnp.zeros((h, w, c), jnp.float32)
+            for dx in range(7):
+                xs = jax.lax.slice(xf, (0, dx, 0), (h + 6, dx + w, c))
+                for dy in range(7):
+                    acc = acc + jax.lax.slice(xs, (dy, 0, 0), (dy + h, w, c)) \
+                        * dw[dy, dx].astype(jnp.float32)
         acc = acc + dwb_ref[:].astype(jnp.float32)
         mu = jnp.mean(acc, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(acc - mu), axis=-1, keepdims=True)
@@ -68,7 +108,7 @@ def build(variant: str):
         elif variant == "block_gelu_sigmoid":
             # x*sigmoid(1.702x): ~5 VPU ops vs ~14 (max abs err 0.02)
             hmid = hmid * jax.nn.sigmoid(1.702 * hmid)
-        elif variant == "block_gelu_tanh":
+        elif variant.startswith("block_gelu_tanh"):
             # the standard "approximate" gelu (max abs err ~3e-4)
             inner = 0.7978845608 * (hmid + 0.044715 * hmid * hmid * hmid)
             hmid = 0.5 * hmid * (1.0 + jnp.tanh(inner))
@@ -134,6 +174,16 @@ def run(variant: str, b=128, h=64, w=64, c=96, k=8):
 
 
 def main():
+    import sys
+    if "--dw" in sys.argv:
+        # round-4 dwconv formulation head-to-head (stage-0 and stage-1 shapes)
+        for v in ("dwconv_taps", "dwconv_shift", "dwconv_perdy", "dwconv_bf16",
+                  "block_gelu_tanh", "block_gelu_tanh_bf16dw"):
+            run(v)
+        for v in ("dwconv_perdy", "dwconv_bf16", "block_gelu_tanh",
+                  "block_gelu_tanh_bf16dw"):
+            run(v, b=128, h=32, w=32, c=192)
+        return
     for v in ("block_nogelu", "block_gelu", "block_gelu_sigmoid",
               "block_gelu_tanh"):
         run(v)

@@ -87,10 +87,16 @@ def unpack_planar(imgs_p: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return jnp.transpose(imgs_p[:, :, :h, :w], (0, 2, 3, 1))
 
 
-def _blend_planar_kernel(si_ref, sw_ref, img_hbm, tmp_hbm, mh_ref, out_ref,
-                         img_vmem, tmp_vmem, sem_img, sem_tmp, *, wq: int,
-                         wb: int, band: int, in_h: int, out_h: int,
-                         n_tiles: int, n_steps: int, th: int, tin: int):
+def _blend_planar_kernel(*refs, wq: int, wb: int, band: int, in_h: int,
+                         out_h: int, n_tiles: int, n_steps: int, th: int,
+                         tin: int, bd: int = 0, ds: int = 0):
+    emit = ds > 0
+    if emit:
+        (si_ref, sw_ref, img_hbm, tmp_hbm, mh_ref, mwd_ref, mdh_ref,
+         out_ref, det_ref, img_vmem, tmp_vmem, sem_img, sem_tmp) = refs
+    else:
+        (si_ref, sw_ref, img_hbm, tmp_hbm, mh_ref,
+         out_ref, img_vmem, tmp_vmem, sem_img, sem_tmp) = refs
     i = pl.program_id(1)
     step = pl.program_id(0) * n_tiles + i
     slot = jax.lax.rem(step, 2)
@@ -151,17 +157,31 @@ def _blend_planar_kernel(si_ref, sw_ref, img_hbm, tmp_hbm, mh_ref, out_ref,
     si = si_ref[0]
     for c, plane in enumerate((r, g, b)):
         v = jax.lax.slice(plane, (4, C0), (4 + th, C0 + wq))
-        out_ref[0, c] = jnp.clip(jnp.round(si * v + delta), 0.0, 255.0
-                                 ).astype(jnp.int32).astype(jnp.uint8)
+        vals = jnp.clip(jnp.round(si * v + delta), 0.0, 255.0)
+        out_ref[0, c] = vals.astype(jnp.int32).astype(jnp.uint8)
+        if emit:
+            # fused detect-side downscale: the tile's final full-res rows
+            # never leave VMEM. Width matmul first (wq -> ds, bf16: vals are
+            # integers <= 255, exact in bf16), then the tile's banded height
+            # contribution. Bands are written to a per-tile output (STATIC
+            # block index) and overlap-added by a tiny XLA epilogue — no
+            # dynamic read-modify-write in the kernel.
+            vd = jnp.dot(vals.astype(jnp.bfloat16), mwd_ref[:],
+                         preferred_element_type=jnp.float32)     # (th, ds)
+            det_ref[0, 0, c] = jnp.dot(
+                mdh_ref[i].astype(jnp.bfloat16), vd.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)              # (bd, ds)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("h", "w", "interpret", "th", "tin"))
+                   static_argnames=("h", "w", "interpret", "th", "tin",
+                                    "detect_size"))
 def fused_jnd_blend_planar(imgs_p: jnp.ndarray, pred_low: jnp.ndarray,
                            scaling_w, scaling_i, h: int, w: int,
                            interpret: bool = False,
                            th: int | None = None,
-                           tin: int | None = None) -> jnp.ndarray:
+                           tin: int | None = None,
+                           detect_size: int | None = None):
     """imgs_p: padded planar (F, 3, Hp, Wb) uint8 (see planar_shape);
     pred_low: (F, s, s) watermark prediction at processing resolution;
     h/w: the true image dims (static). Returns (F, 3, th*n_tiles, Wq) uint8
@@ -170,6 +190,15 @@ def fused_jnd_blend_planar(imgs_p: jnp.ndarray, pred_low: jnp.ndarray,
 
     th/tin: tile geometry override (must match the geometry the buffer was
     packed with); default is the measured-fastest module constant.
+
+    detect_size=ds additionally returns the watermarked frames downscaled to
+    (F, 3, ds, ds) f32 in [0, 1] — the extractor's input — computed INSIDE
+    the kernel while each tile's full-res rows are still VMEM-resident
+    (width matmul wq->ds per tile, then a banded height matmul accumulated
+    across tiles), so the detect path never re-reads the full-res planes
+    from HBM (replaces the resize of ref wam.py:206-234's detect entry).
+    The matmuls ride the MXU, which idles during this kernel's VPU-bound
+    JND math — the downscale is nearly free.
 
     out = clip(round(si*img + 255*sw*jnd_heatmap(img)*upsample(pred)), 0, 255)
     """
@@ -208,24 +237,67 @@ def fused_jnd_blend_planar(imgs_p: jnp.ndarray, pred_low: jnp.ndarray,
         mh_packed[i] = rows[:, start:start + band]
     mh = jnp.asarray(mh_packed)
 
-    kern = functools.partial(_blend_planar_kernel, wq=wq, wb=wb, band=band,
-                             in_h=s, out_h=h, n_tiles=n_tiles,
-                             n_steps=f * n_tiles, th=th, tin=tin)
     si = jnp.reshape(jnp.asarray(scaling_i, jnp.float32), (1,))
     sw = jnp.reshape(jnp.asarray(scaling_w, jnp.float32), (1,))
-    return pl.pallas_call(
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pl.ANY),       # u8 planes (manual DMA)
+        pl.BlockSpec(memory_space=pl.ANY),       # width-resized pred
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # mh bands, resident
+    ]
+    out_specs = pl.BlockSpec((1, 3, th, wq), lambda fi, i: (fi, 0, i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((f, 3, th * n_tiles, wq), jnp.uint8)
+    inputs = [si, sw, imgs_p, tmp, mh]
+    bd = 0
+    ds = detect_size or 0
+    if ds:
+        assert ds % 128 == 0, f"detect_size must be lane-aligned, got {ds}"
+        # width downscale matrix (wq -> ds), 1-pass bf16 on the MXU
+        mwd = np.zeros((wq, ds), np.float32)
+        mwd[:w] = _resize_matrix(w, ds, antialias=True).T
+        # banded height downscale per tile: tile i's output rows [i*th,
+        # (i+1)*th) feed detect rows [d2s[i], d2s[i]+bd). 1/255 folded in.
+        mdh_full = np.zeros((ds, th * n_tiles), np.float32)
+        mdh_full[:, :h] = _resize_matrix(h, ds, antialias=True) / 255.0
+        spans = []
+        for i in range(n_tiles):
+            nz = np.nonzero(mdh_full[:, i * th:(i + 1) * th])[0]
+            spans.append((int(nz.min()), int(nz.max())) if nz.size else (0, 0))
+        bd = max(hi - (lo // 8) * 8 + 1 for lo, hi in spans)
+        bd = min(-(-bd // 8) * 8, ds)
+        d2s = np.zeros((n_tiles,), np.int32)
+        mdh_packed = np.zeros((n_tiles, bd, th), np.float32)
+        for i, (lo, hi) in enumerate(spans):
+            start = min((lo // 8) * 8, ds - bd)
+            assert hi < start + bd, f"detect band too narrow at tile {i}"
+            d2s[i] = start
+            mdh_packed[i] = mdh_full[start:start + bd, i * th:(i + 1) * th]
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # mwd, resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # mdh bands, resident
+        ]
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, 1, 3, bd, ds),
+                                  lambda fi, i: (fi, i, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((f, n_tiles, 3, bd, ds),
+                                          jnp.float32)]
+        inputs += [jnp.asarray(mwd, jnp.bfloat16), jnp.asarray(mdh_packed)]
+
+    kern = functools.partial(_blend_planar_kernel, wq=wq, wb=wb, band=band,
+                             in_h=s, out_h=h, n_tiles=n_tiles,
+                             n_steps=f * n_tiles, th=th, tin=tin,
+                             bd=bd, ds=ds)
+    outs = pl.pallas_call(
         kern,
         grid=(f, n_tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),       # u8 planes (manual DMA)
-            pl.BlockSpec(memory_space=pl.ANY),       # width-resized pred
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # mh bands, resident
-        ],
-        out_specs=pl.BlockSpec((1, 3, th, wq), lambda fi, i: (fi, 0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((f, 3, th * n_tiles, wq), jnp.uint8),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, 3, tin, wb), jnp.uint8),
             pltpu.VMEM((2, band, wq), jnp.float32),
@@ -233,7 +305,18 @@ def fused_jnd_blend_planar(imgs_p: jnp.ndarray, pred_low: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(si, sw, imgs_p, tmp, mh)
+    )(*inputs)
+    if not ds:
+        return outs
+    # overlap-add the per-tile detect bands (static offsets; bands only
+    # overlap between adjacent tiles, total traffic f*n_tiles*3*bd*ds*4B —
+    # ~50 MB at 128f/1080p, ~0.1 ms)
+    u8_out, bands = outs
+    det = jnp.zeros((f, 3, ds, ds), jnp.float32)
+    for i in range(n_tiles):
+        st = int(d2s[i])
+        det = det.at[:, :, st:st + bd, :].add(bands[:, i])
+    return u8_out, det
 
 
 def resize_planar(imgs_p: jnp.ndarray, h: int, w: int, out_h: int, out_w: int,
@@ -255,9 +338,13 @@ def resize_planar(imgs_p: jnp.ndarray, h: int, w: int, out_h: int, out_w: int,
     this path has exactly two precision regimes and a silent middle tier
     would misleadingly take the bf16 path.
 
-    `gain` (traced scalar, value 1.0) multiplies the height matrix: a
+    `gain` (traced scalar, value 1.0) multiplies the frame cast itself: a
     value-preserving data-dependence hook so benchmark loops can force
-    re-execution without copying the frame buffer (see bench.py).
+    re-execution without copying the frame buffer (see bench.py). Applying
+    it at the CAST (not the weight matrix) makes the u8->bf16/f32 plane
+    conversion itself gain-dependent, so XLA cannot hoist that
+    materialization out of a chained timing loop (advisor round-3 finding:
+    a weight-side gain left the cast loop-invariant and LICM-eligible).
     """
     from ..ops.resize import _resize_matrix
 
@@ -267,11 +354,11 @@ def resize_planar(imgs_p: jnp.ndarray, h: int, w: int, out_h: int, out_w: int,
     mw = np.zeros((out_w, wb), np.float32)
     mw[:, c0:c0 + w] = _resize_matrix(w, out_w, antialias=True)
     if precision == "highest":
-        mh_j = jnp.asarray(mh)
-        if gain is not None:
-            mh_j = mh_j * gain
         x = imgs_p.astype(jnp.float32) * (1.0 / 255.0)
-        y = jnp.einsum("Hh,fchw->fcHw", mh_j, x, precision=precision)
+        if gain is not None:
+            x = x * gain
+        y = jnp.einsum("Hh,fchw->fcHw", jnp.asarray(mh), x,
+                       precision=precision)
         y = jnp.einsum("Ww,fchw->fchW", jnp.asarray(mw), y,
                        precision=precision)
         return jnp.transpose(y, (0, 2, 3, 1))
@@ -279,11 +366,10 @@ def resize_planar(imgs_p: jnp.ndarray, h: int, w: int, out_h: int, out_w: int,
         raise ValueError(
             f"resize_planar supports precision 'highest' (f32 parity) or "
             f"'default' (bf16 serving fast path), got {precision!r}")
-    mh_j = jnp.asarray(mh, jnp.bfloat16)
-    if gain is not None:
-        mh_j = mh_j * jnp.asarray(gain).astype(jnp.bfloat16)
     x = imgs_p.astype(jnp.bfloat16)          # exact: u8 integers <= 255
-    y = jnp.einsum("Hh,fchw->fcHw", mh_j, x)
+    if gain is not None:
+        x = x * jnp.asarray(gain).astype(jnp.bfloat16)
+    y = jnp.einsum("Hh,fchw->fcHw", jnp.asarray(mh, jnp.bfloat16), x)
     y = jnp.einsum("Ww,fchw->fchW", jnp.asarray(mw, jnp.bfloat16), y,
                    preferred_element_type=jnp.float32)
     return jnp.transpose(y, (0, 2, 3, 1)) * (1.0 / 255.0)

@@ -289,7 +289,8 @@ def _detect_resized(extractor, cfg: PipelineConfig, variables, imgs_res):
 def embed_pipeline_planar(embedder, attenuation: JND | None,
                           cfg: PipelineConfig, variables, imgs_p, msgs,
                           scaling_w, scaling_i, h: int, w: int,
-                          interpret: bool = False, gain=None):
+                          interpret: bool = False, gain=None,
+                          with_detect_input: bool = False):
     """Planar-u8 video serving embed: the production fast path.
 
     imgs_p: (F, 3, Hp, Wb) uint8 padded planar frames
@@ -298,6 +299,12 @@ def embed_pipeline_planar(embedder, attenuation: JND | None,
     (offsets folded into the resize matmuls), the full-res JND + prediction
     upsample + blend run as ONE Pallas pass over u8 planes. Returns planar
     watermarked frames (F, 3, ceil(h/64)*64, ceil(w/128)*128) u8.
+
+    with_detect_input=True additionally returns the extractor's input — the
+    watermarked frames at processing resolution, (F, s, s, 3) f32 in [0,1] —
+    produced inside the blend kernel's tile loop (detect_size path of
+    fused_jnd_blend_planar), so embed+detect serving never re-reads the
+    full-res planes from HBM.
 
     Requires: jnd_1_1-style attenuation, additive blending, 1-channel
     prediction (the production card family) — asserted.
@@ -315,6 +322,11 @@ def embed_pipeline_planar(embedder, attenuation: JND | None,
     preds = _expand_video_mode(preds, imgs_p.shape[0], cfg.step_size,
                                cfg.video_mode).astype(jnp.float32)
     assert preds.shape[-1] == 1, "planar path expects a 1-channel prediction"
+    if with_detect_input:
+        imgs_wp, det = fused_jnd_blend_planar(
+            imgs_p, preds[..., 0], scaling_w, scaling_i, h, w,
+            interpret=interpret, detect_size=s)
+        return imgs_wp, jnp.transpose(det, (0, 2, 3, 1))   # (F, s, s, 3)
     return fused_jnd_blend_planar(imgs_p, preds[..., 0], scaling_w, scaling_i,
                                   h, w, interpret=interpret)
 

@@ -283,6 +283,26 @@ def main(args=None):
 
     mesh = pmesh.make_mesh(devices=jax.devices("cpu") if args.cpu else None)
 
+    # Synthetic single-chip runs: keep the whole dataset device-resident
+    # (u8) and gather batches ON DEVICE. The per-step host->device batch
+    # upload rides a ~15-100 MB/s tunnel here (6.3 MB/step at 128px b32 =
+    # hundreds of ms) and was the training-throughput bottleneck; with the
+    # pool, per-step transfer is 32 indices.
+    device_pool = None
+    if (args.synthetic and host_mask_embedder is None
+            and jax.process_count() == 1 and mesh.devices.size == 1):
+        ds_pool = loaders["img"].ds
+        pool_np = np.stack([
+            np.clip(ds_pool[i][0] * 255.0, 0, 255).astype(np.uint8)
+            for i in range(len(ds_pool))])
+        device_pool = jax.device_put(
+            pool_np, jax.devices("cpu")[0] if args.cpu else None)
+        pool_rng = np.random.default_rng(args.seed + 7)
+
+        @jax.jit
+        def gather_batch(pool, idx):
+            return {"imgs": pool[idx].astype(jnp.float32) * (1.0 / 255.0)}
+
     def build_steps(mode):
         fns = {"img": make_train_step(mods, opt_g, opt_d, is_video=False, mode=mode)}
         if "vid" in loaders:
@@ -386,22 +406,33 @@ def main(args=None):
             if scaling_sched is not None:
                 state = state.replace(scaling_w=jnp.float32(scaling_sched(epoch)))
             epoch_it = 0
-            for batch in loader:
+            if device_pool is not None and modality == "img":
+                batch_src = iter(lambda: "pool", None)     # sentinel stream
+            else:
+                batch_src = loader
+            for batch in batch_src:
                 # an "epoch" is iter_per_epoch steps (reference train.py
                 # epoch semantics; loaders are effectively infinite)
                 if it >= total_steps or epoch_it >= args.iter_per_epoch:
                     break
                 epoch_it += 1
                 key, k = jax.random.split(key)
-                if host_mask_embedder is not None:
-                    imgs_np = np.asarray(batch["imgs"])
-                    flat = imgs_np.reshape((-1,) + imgs_np.shape[-3:])
-                    dsm = batch.get("masks")
-                    dsm = (np.asarray(dsm).reshape((-1,) + flat.shape[1:3] + (1,))
-                           if dsm is not None and np.asarray(dsm).size else None)
-                    m = host_mask_embedder(flat, dsm)
-                    batch["masks"] = m.reshape(imgs_np.shape[:-1] + (1,))
-                batch = pmesh.shard_batch(mesh, batch)
+                if batch == "pool":
+                    idx = pool_rng.integers(0, device_pool.shape[0],
+                                            args.batch_size)
+                    batch = gather_batch(device_pool, jnp.asarray(idx))
+                else:
+                    if host_mask_embedder is not None:
+                        imgs_np = np.asarray(batch["imgs"])
+                        flat = imgs_np.reshape((-1,) + imgs_np.shape[-3:])
+                        dsm = batch.get("masks")
+                        dsm = (np.asarray(dsm).reshape(
+                            (-1,) + flat.shape[1:3] + (1,))
+                            if dsm is not None and np.asarray(dsm).size
+                            else None)
+                        m = host_mask_embedder(flat, dsm)
+                        batch["masks"] = m.reshape(imgs_np.shape[:-1] + (1,))
+                    batch = pmesh.shard_batch(mesh, batch)
                 state, logs = step_fns[modality](state, batch, k)
                 # Fetch logs only on log steps: a per-step host readback costs
                 # a full tunnel RTT and serializes the dispatch pipeline.
