@@ -95,3 +95,38 @@ class TestFusedForward:
         out = PixelDecoder(**spec.module.pixel_decoder).apply(
             {"params": v["params"]["pixel_decoder"]}, feats)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+class TestMultiBlockKernel:
+    @pytest.mark.parametrize("k", [2, 3])
+    def test_multi_matches_sequential(self, k):
+        """k blocks fused in one pallas_call == k sequential single-block
+        calls (the intermediate re-pad must reproduce the 3-px zero halo)."""
+        from videoseal_tpu.kernels.convnext_block import convnext_blocks_fused
+        rng = np.random.default_rng(7)
+        c, hw = 32, 16
+        x = jnp.asarray(rng.normal(size=(2, hw, hw, c)),
+                        jnp.float32).astype(jnp.bfloat16)
+        plist = []
+        for j in range(k):
+            blk = ConvNeXtBlock(c)
+            v = blk.init(jax.random.PRNGKey(j), x.astype(jnp.float32))
+            p = v["params"]
+            p["grn"]["gamma"] = jnp.asarray(
+                rng.normal(size=(4 * c,)), jnp.float32) * 0.1
+            p["grn"]["beta"] = jnp.asarray(
+                rng.normal(size=(4 * c,)), jnp.float32) * 0.1
+            plist.append(p)
+        ref = x
+        for p in plist:
+            ref = convnext_block_fused(ref, p, interpret=True)
+        got = convnext_blocks_fused(x, tuple(plist), interpret=True, k=k)
+        diff = np.abs(np.asarray(got, np.float32) - np.asarray(ref, np.float32))
+        assert diff.max() < 2e-2, diff.max()
+
+    def test_blocks_per_step_budget(self):
+        from videoseal_tpu.kernels.convnext_block import blocks_per_step
+        # deep stages can afford several resident weight sets
+        assert blocks_per_step(16, 16, 384, 2, 9) >= 2
+        # k never exceeds the stage depth
+        assert blocks_per_step(16, 16, 384, 2, 1) == 1

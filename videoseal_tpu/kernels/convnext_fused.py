@@ -14,7 +14,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .convnext_block import (convnext_block_fused, frames_per_step,
+from .convnext_block import (blocks_per_step, convnext_block_fused,
+                             convnext_blocks_fused, frames_per_step,
                              supports_block)
 
 
@@ -105,10 +106,21 @@ def convnext_apply_fused(params: dict, x: jnp.ndarray,
         h, w = x.shape[-3], x.shape[-2]
         fused_ok = supports_block(h, w, dims[i]) and (on_tpu or interpret)
         fps = frames_per_step(x.shape[0], h, w, dims[i])
-        for j in range(depths[i]):
-            p = params[f"stage{i}_block{j}"]
-            if fused_ok:
-                x = convnext_block_fused(x, p, interpret=interpret, fps=fps)
+        kmax = blocks_per_step(h, w, dims[i], fps, depths[i]) if fused_ok else 1
+        j = 0
+        while j < depths[i]:
+            if not fused_ok:
+                x = _block_xla(x, params[f"stage{i}_block{j}"])
+                j += 1
+                continue
+            k = min(kmax, depths[i] - j)
+            plist = tuple(params[f"stage{i}_block{jj}"]
+                          for jj in range(j, j + k))
+            if k == 1:
+                x = convnext_block_fused(x, plist[0], interpret=interpret,
+                                         fps=fps)
             else:
-                x = _block_xla(x, p)
+                x = convnext_blocks_fused(x, plist, interpret=interpret,
+                                          fps=fps, k=k)
+            j += k
     return x
