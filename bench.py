@@ -63,16 +63,17 @@ def main():
     H, W = args.height, args.width
 
     if planar:
-        from videoseal_tpu.models.videoseal import _detect_resized
-
+        # NOTE round-4 measured negative: embedding the detect-side
+        # downscale INTO the blend kernel (with_detect_input=True) costs
+        # +3.3 ms of serialized in-kernel matmul vs the 2.84 ms resize it
+        # replaces (Mosaic does not overlap a tile's MXU epilogue with its
+        # VPU JND math) — the resize path stays the scored configuration.
         @jax.jit
         def embed_extract(frames, msgs, gain=None):
-            # the blend kernel emits the extractor's proc-res input directly
-            # (with_detect_input): no full-res re-read between embed & detect
-            imgs_w, det_in = embed_pipeline_planar(
-                emb_mod, att, cfg, evars, frames, msgs, jnp.float32(0.2),
-                jnp.float32(1.0), H, W, gain=gain, with_detect_input=True)
-            preds = _detect_resized(ext_mod, cfg, xvars, det_in)
+            imgs_w = embed_pipeline_planar(emb_mod, att, cfg, evars, frames,
+                                           msgs, jnp.float32(0.2),
+                                           jnp.float32(1.0), H, W, gain=gain)
+            preds = detect_pipeline_planar(ext_mod, cfg, xvars, imgs_w, H, W)
             return imgs_w, preds
     else:
         @jax.jit

@@ -86,7 +86,8 @@ def _block_xla(x, p):
 def convnext_apply_fused(params: dict, x: jnp.ndarray,
                          depths=(3, 3, 9, 3), dims=(96, 192, 384, 768),
                          stem_stride: int = 4,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False,
+                         max_block_group: int = 1) -> jnp.ndarray:
     """ConvNeXtV2.forward_features with Pallas blocks where possible.
 
     Compiled Pallas requires a TPU backend; elsewhere the XLA fallback path
@@ -106,7 +107,14 @@ def convnext_apply_fused(params: dict, x: jnp.ndarray,
         h, w = x.shape[-3], x.shape[-2]
         fused_ok = supports_block(h, w, dims[i]) and (on_tpu or interpret)
         fps = frames_per_step(x.shape[0], h, w, dims[i])
-        kmax = blocks_per_step(h, w, dims[i], fps, depths[i]) if fused_ok else 1
+        # multi-block grouping measured NEGATIVE on v5e (round 4:
+        # extractor 34.0 ms grouped vs 32.7 single over 128f — resident
+        # k-block weights eat the double-buffering headroom and the
+        # per-step prologue was not the cost). Grouping stays available
+        # via max_block_group for future parts/shapes.
+        kmax = (min(blocks_per_step(h, w, dims[i], fps, depths[i]),
+                    max_block_group)
+                if fused_ok else 1)
         j = 0
         while j < depths[i]:
             if not fused_ok:
