@@ -81,3 +81,25 @@ class TestFusedBlend:
         assert not supports_fused_blend(
             1080, 1920, 1, JND(in_channels=3, out_channels=1), "additive")
         assert not supports_fused_blend(1031, 1920, 1, jnd, "additive")  # prime H
+
+
+class TestHeatmapLum:
+    @pytest.mark.parametrize("shape", [(2, 64, 48, 3), (3, 33, 41, 3)])
+    def test_matches_grouped_conv_heatmaps(self, shape):
+        """JND.heatmap_lum (2D shift-add formulation, planar lowres serving
+        path) == channel 0 of the grouped-conv heatmaps for jnd_1_*."""
+        rng = np.random.default_rng(7)
+        imgs = jnp.asarray(rng.uniform(0, 1, shape).astype(np.float32))
+        jnd = JND(in_channels=1, out_channels=3)
+        ref = np.asarray(jnd.heatmaps(imgs))[..., 0]
+        got = np.asarray(jnd.heatmap_lum(imgs))
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    def test_video_leading_dims(self):
+        rng = np.random.default_rng(8)
+        imgs = jnp.asarray(rng.uniform(0, 1, (2, 3, 32, 40, 3)).astype(np.float32))
+        jnd = JND(in_channels=1, out_channels=3)
+        ref = np.asarray(jnd.heatmaps(imgs))[..., 0]
+        got = np.asarray(jnd.heatmap_lum(imgs))
+        assert got.shape == imgs.shape[:-1]
+        np.testing.assert_allclose(got, ref, atol=2e-5)

@@ -70,6 +70,38 @@ class TestFusedPlanar:
         assert diff.max() <= 1, f"max u8 diff {diff.max()}"
         assert (diff > 0).mean() < 1e-3
 
+    @pytest.mark.parametrize("hw", [(216, 384), (200, 300)])
+    def test_lowres_mode_matches_plain_upsample_blend(self, hw):
+        """lowres=True: pred_low arrives pre-attenuated; the kernel must be
+        exactly clip(round(si*img + 255*sw*upsample(pred_low))) with the
+        same width->height matmul resize the full-res path uses (ref
+        semantics: videoseal.py:321-331 — no full-res JND)."""
+        from videoseal_tpu.ops.resize import _resize_matrix
+        H, W = hw
+        F, s = 2, 64
+        rng = np.random.default_rng(13)
+        imgs = jnp.asarray(rng.integers(0, 256, (F, H, W, 3)), jnp.uint8)
+        pred_low = jnp.asarray(rng.uniform(-0.05, 0.05, (F, s, s)), jnp.float32)
+
+        imgs_p = pack_planar(imgs)
+        got_p = fused_jnd_blend_planar(imgs_p, pred_low, 0.2, 1.0, H, W,
+                                       interpret=True, lowres=True)
+        got = unpack_planar(got_p, H, W)
+
+        pred_w = jnp.einsum("Ww,fhw->fhW",
+                            jnp.asarray(_resize_matrix(s, W, antialias=True)),
+                            pred_low, precision="highest")
+        pred_full = jnp.einsum("Hs,fsW->fHW",
+                               jnp.asarray(_resize_matrix(s, H, antialias=True)),
+                               pred_w, precision="highest")
+        out = (1.0 * imgs.astype(jnp.float32)
+               + 255.0 * 0.2 * pred_full[..., None])
+        ref = jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+        diff = np.abs(np.asarray(got).astype(np.int16)
+                      - np.asarray(ref).astype(np.int16))
+        assert diff.max() <= 1, f"max u8 diff {diff.max()}"
+        assert (diff > 0).mean() < 1e-3
+
     def test_resize_planar_matches_nhwc_resize(self):
         from videoseal_tpu.ops.resize import resize_bilinear
         rng = np.random.default_rng(6)
@@ -184,6 +216,44 @@ class TestPlanarPipeline:
         wm_n, _ = embed_pipeline(emb.module, att, cfg, variables, imgs, msgs,
                                  0.2, 1.0, is_video=True,
                                  lowres_attenuation=False)
+        imgs_p = pack_planar(imgs)
+        wm_p = embed_pipeline_planar(emb.module, att, cfg, variables, imgs_p,
+                                     msgs, 0.2, 1.0, H, W, interpret=True)
+        got = np.asarray(unpack_planar(wm_p, H, W)).astype(np.int16)
+        ref = np.asarray(wm_n).astype(np.int16)
+        d = np.abs(got - ref)
+        assert d.max() <= 1, f"max u8 diff {d.max()}"
+        assert (d > 0).mean() < 1e-2
+
+    def test_embed_pipeline_planar_lowres_matches_nhwc_lowres(self):
+        """Planar lowres-attenuation serving mode == the NHWC pipeline with
+        lowres_attenuation=True (the reference's video-serving JND placement,
+        inference_streaming.py:28 / videoseal.py:321-331)."""
+        import jax.numpy as jnp
+        from videoseal_tpu.train import TINY_CARD
+        from videoseal_tpu.models.embedder import build_embedder
+        from videoseal_tpu.models.videoseal import (PipelineConfig,
+                                                    embed_pipeline,
+                                                    embed_pipeline_planar)
+        from videoseal_tpu.modules.jnd import build_attenuation
+        import jax
+
+        emb = build_embedder(TINY_CARD["embedder"]["model"],
+                             TINY_CARD["embedder"]["params"], 16, 2)
+        cfg = PipelineConfig(img_size=64, yuv=emb.yuv, nbits=16, step_size=2,
+                             chunk_size=8, lowres_attenuation=True)
+        att = build_attenuation("jnd_1_1")
+        rng = np.random.default_rng(14)
+        F, H, W = 4, 120, 200
+        imgs = jnp.asarray(rng.integers(0, 256, (F, H, W, 3)), jnp.uint8)
+        msgs = jnp.asarray(rng.integers(0, 2, (1, 16)), jnp.int32)
+        variables = emb.module.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 64, 64, 1)),
+                                    jnp.zeros((1, 16), jnp.int32))
+
+        wm_n, _ = embed_pipeline(emb.module, att, cfg, variables, imgs, msgs,
+                                 0.2, 1.0, is_video=True,
+                                 lowres_attenuation=True)
         imgs_p = pack_planar(imgs)
         wm_p = embed_pipeline_planar(emb.module, att, cfg, variables, imgs_p,
                                      msgs, 0.2, 1.0, H, W, interpret=True)

@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--proc", type=int, default=256)
     ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--lowres_stages", action="store_true",
+                    help="also time the lowres-attenuation mode pieces: "
+                         "lowres blend kernel, proc-res JND heatmaps, "
+                         "all-frames resize")
     args = ap.parse_args()
 
     from videoseal_tpu.kernels import fused_planar as fp
@@ -55,6 +59,46 @@ def main():
 
     dt = time_stage(blend, (imgs_p, preds), args.k)
     print(json.dumps({"th": th, "tin": tin,
+                      "ms": round(dt * 1e3, 2),
+                      "per_frame_us": round(dt * 1e6 / args.frames, 1)}),
+          flush=True)
+
+    if not args.lowres_stages:
+        return
+
+    # -- lowres-attenuation serving-mode stages (round 5) -------------------
+    def blend_lowres(a, e):
+        ip, pr = a
+        return fp.fused_jnd_blend_planar(
+            ip, pr, jnp.float32(0.2) * (1 + e), jnp.float32(1.0),
+            h=args.height, w=args.width, th=th, tin=tin, lowres=True)
+
+    dt = time_stage(blend_lowres, (imgs_p, preds), args.k)
+    print(json.dumps({"stage": "blend_lowres", "th": th,
+                      "ms": round(dt * 1e3, 2),
+                      "per_frame_us": round(dt * 1e6 / args.frames, 1)}),
+          flush=True)
+
+    from videoseal_tpu.evals.stage_bench import _perturb
+    from videoseal_tpu.modules.jnd import build_attenuation
+    att = build_attenuation("jnd_1_1")
+    frames_res = jnp.asarray(rng.uniform(
+        0, 1, (args.frames, args.proc, args.proc, 3)), jnp.float32)
+
+    def heat(a, e):
+        return att.heatmaps(_perturb(a, e))
+    dt = time_stage(heat, frames_res, args.k)
+    print(json.dumps({"stage": "jnd_heatmaps_procres",
+                      "ms": round(dt * 1e3, 2),
+                      "per_frame_us": round(dt * 1e6 / args.frames, 1)}),
+          flush=True)
+
+    def resize_all(a, e):
+        return fp.resize_planar(a, args.height, args.width, args.proc,
+                                args.proc, precision="default",
+                                gain=1.0 + e)
+    dt = time_stage(resize_all, imgs_p, args.k)
+    print(json.dumps({"stage": "resize_planar_allframes",
                       "ms": round(dt * 1e3, 2),
                       "per_frame_us": round(dt * 1e6 / args.frames, 1)}),
           flush=True)

@@ -54,12 +54,17 @@ def _reader_planar(path: str, chunk_size: int, out_q: queue.Queue):
 
 
 def embed_video_planar(model, input_path: str, output_path: str,
-                       chunk_size: int = 32, crf: int = 18) -> dict:
+                       chunk_size: int = 32, crf: int = 18,
+                       lowres_attenuation: bool = True) -> dict:
     """Planar-u8 streaming embed: the native decoder fills planar buffers,
     ONE fused Pallas pass does JND+upsample+blend per chunk, and the native
     incremental encoder (libx264) consumes the planar output directly — no
     interleave ever happens on host or device. Requires
-    model.supports_planar and the native media runtime."""
+    model.supports_planar and the native media runtime.
+
+    lowres_attenuation defaults True — the reference's own video-serving
+    configuration (ref inference_streaming.py:28): JND at processing
+    resolution, which also collapses the blend kernel's full-res VPU work."""
     from . import native
 
     rdr = native.VideoReader(input_path)
@@ -94,7 +99,8 @@ def embed_video_planar(model, input_path: str, output_path: str,
             pending = None
         if chunk is None:
             break
-        out = model.embed_planar(chunk, h, w, msgs=msgs)
+        out = model.embed_planar(chunk, h, w, msgs=msgs,
+                                 lowres_attenuation=lowres_attenuation)
         pending = out["imgs_w"]   # stays planar end to end
         n += chunk.shape[0]
     out_q.put(None)

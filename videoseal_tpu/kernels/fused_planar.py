@@ -89,7 +89,8 @@ def unpack_planar(imgs_p: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
 def _blend_planar_kernel(*refs, wq: int, wb: int, band: int, in_h: int,
                          out_h: int, n_tiles: int, n_steps: int, th: int,
-                         tin: int, bd: int = 0, ds: int = 0):
+                         tin: int, bd: int = 0, ds: int = 0,
+                         lowres: bool = False):
     emit = ds > 0
     if emit:
         (si_ref, sw_ref, img_hbm, tmp_hbm, mh_ref, mwd_ref, mdh_ref,
@@ -137,26 +138,36 @@ def _blend_planar_kernel(*refs, wq: int, wb: int, band: int, in_h: int,
     dma_img(step, slot).wait()
     dma_tmp(step, slot).wait()
 
-    # Mosaic has no direct u8<->f32 casts; hop through i32 (exact).
-    # Convert only the rows the math reads (R0-4 .. R0+th+4): the DMA must
-    # fetch tin (32-row granularity) but compute can skip the dead pad rows.
-    lo = R0 - 4
-    rows = th + 8
-    r = jax.lax.slice(img_vmem[slot, 0], (lo, 0), (lo + rows, wb)
-                      ).astype(jnp.int32).astype(jnp.float32)
-    g = jax.lax.slice(img_vmem[slot, 1], (lo, 0), (lo + rows, wb)
-                      ).astype(jnp.int32).astype(jnp.float32)
-    b = jax.lax.slice(img_vmem[slot, 2], (lo, 0), (lo + rows, wb)
-                      ).astype(jnp.int32).astype(jnp.float32)
-    lum = 0.299 * r + 0.587 * g + 0.114 * b          # (th+8, Wb), 0..255
-    heat = _jnd_heatmap_tile(lum, th, wq, wb, co=C0)  # (th, wq) in [0,1]
-
     pred = jnp.dot(mh_ref[i], tmp_vmem[slot],
                    preferred_element_type=jnp.float32)   # (th, wq)
-    delta = (255.0 * sw_ref[0] * heat) * pred
+    if lowres:
+        # lowres-attenuation serving mode (ref videoseal.py:321-331 /
+        # inference_streaming.py:28): the JND heatmap was already multiplied
+        # into the prediction at PROCESSING resolution, so the full-res VPU
+        # work collapses to the u8 blend itself — convert only the live th
+        # rows per plane, no luminance/JND convs, no halo.
+        delta = (255.0 * sw_ref[0]) * pred
+        planes = [jax.lax.slice(img_vmem[slot, c], (R0, C0),
+                                (R0 + th, C0 + wq)
+                                ).astype(jnp.int32).astype(jnp.float32)
+                  for c in range(3)]
+    else:
+        # Mosaic has no direct u8<->f32 casts; hop through i32 (exact).
+        # Convert only the rows the math reads (R0-4 .. R0+th+4): the DMA must
+        # fetch tin (32-row granularity) but compute can skip the dead pad
+        # rows.
+        lo = R0 - 4
+        rows = th + 8
+        slabs = [jax.lax.slice(img_vmem[slot, c], (lo, 0), (lo + rows, wb)
+                               ).astype(jnp.int32).astype(jnp.float32)
+                 for c in range(3)]
+        r, g, b = slabs
+        lum = 0.299 * r + 0.587 * g + 0.114 * b          # (th+8, Wb), 0..255
+        heat = _jnd_heatmap_tile(lum, th, wq, wb, co=C0)  # (th, wq) in [0,1]
+        delta = (255.0 * sw_ref[0] * heat) * pred
+        planes = [jax.lax.slice(p, (4, C0), (4 + th, C0 + wq)) for p in slabs]
     si = si_ref[0]
-    for c, plane in enumerate((r, g, b)):
-        v = jax.lax.slice(plane, (4, C0), (4 + th, C0 + wq))
+    for c, v in enumerate(planes):
         vals = jnp.clip(jnp.round(si * v + delta), 0.0, 255.0)
         out_ref[0, c] = vals.astype(jnp.int32).astype(jnp.uint8)
         if emit:
@@ -175,18 +186,27 @@ def _blend_planar_kernel(*refs, wq: int, wb: int, band: int, in_h: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("h", "w", "interpret", "th", "tin",
-                                    "detect_size"))
+                                    "detect_size", "lowres"))
 def fused_jnd_blend_planar(imgs_p: jnp.ndarray, pred_low: jnp.ndarray,
                            scaling_w, scaling_i, h: int, w: int,
                            interpret: bool = False,
                            th: int | None = None,
                            tin: int | None = None,
-                           detect_size: int | None = None):
+                           detect_size: int | None = None,
+                           lowres: bool = False):
     """imgs_p: padded planar (F, 3, Hp, Wb) uint8 (see planar_shape);
     pred_low: (F, s, s) watermark prediction at processing resolution;
     h/w: the true image dims (static). Returns (F, 3, th*n_tiles, Wq) uint8
     planar watermarked frames (image at [:h, :w]; rows/cols beyond are junk
     from the zero padding — crop or fold the offset into downstream resizes).
+
+    lowres=True is the lowres-attenuation serving mode (the reference's own
+    video-serving configuration: inference_streaming.py:28 passes
+    lowres_attenuation=True; impl videoseal.py:321-331): pred_low must
+    already carry the proc-res JND heatmap (heat(imgs_res) * pred), and the
+    kernel computes out = clip(round(si*img + 255*sw*upsample(pred_low)))
+    with NO full-res JND math — the tile work collapses to the u8 blend and
+    the banded upsample matmul, approaching the kernel's DMA floor.
 
     th/tin: tile geometry override (must match the geometry the buffer was
     packed with); default is the measured-fastest module constant.
@@ -291,7 +311,7 @@ def fused_jnd_blend_planar(imgs_p: jnp.ndarray, pred_low: jnp.ndarray,
     kern = functools.partial(_blend_planar_kernel, wq=wq, wb=wb, band=band,
                              in_h=s, out_h=h, n_tiles=n_tiles,
                              n_steps=f * n_tiles, th=th, tin=tin,
-                             bd=bd, ds=ds)
+                             bd=bd, ds=ds, lowres=lowres)
     outs = pl.pallas_call(
         kern,
         grid=(f, n_tiles),

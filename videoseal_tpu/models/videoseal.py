@@ -290,7 +290,8 @@ def embed_pipeline_planar(embedder, attenuation: JND | None,
                           cfg: PipelineConfig, variables, imgs_p, msgs,
                           scaling_w, scaling_i, h: int, w: int,
                           interpret: bool = False, gain=None,
-                          with_detect_input: bool = False):
+                          with_detect_input: bool = False,
+                          lowres_attenuation: bool | None = None):
     """Planar-u8 video serving embed: the production fast path.
 
     imgs_p: (F, 3, Hp, Wb) uint8 padded planar frames
@@ -298,7 +299,14 @@ def embed_pipeline_planar(embedder, attenuation: JND | None,
     directly. Key frames are resized straight out of the planar buffer
     (offsets folded into the resize matmuls), the full-res JND + prediction
     upsample + blend run as ONE Pallas pass over u8 planes. Returns planar
-    watermarked frames (F, 3, ceil(h/64)*64, ceil(w/128)*128) u8.
+    watermarked frames (F, 3, ceil(h/TH)*TH, ceil(w/128)*128) u8, with TH the
+    kernel tile height (kernels/fused_planar.TH).
+
+    lowres_attenuation (default: cfg.lowres_attenuation) selects the
+    reference's video-serving JND placement (inference_streaming.py:28,
+    videoseal.py:321-331): ALL frames are resized to proc res, the heatmap
+    is computed and multiplied into the prediction there, and the blend
+    kernel runs with no full-res JND math (lowres=True fast path).
 
     with_detect_input=True additionally returns the extractor's input — the
     watermarked frames at processing resolution, (F, s, s, 3) f32 in [0,1] —
@@ -312,23 +320,42 @@ def embed_pipeline_planar(embedder, attenuation: JND | None,
     from ..kernels.fused_planar import fused_jnd_blend_planar, resize_planar
 
     assert attenuation is not None and cfg.blending_method == "additive"
+    lowres = (cfg.lowres_attenuation if lowres_attenuation is None
+              else lowres_attenuation)
     s = cfg.img_size
     run_embedder = _make_run_embedder(embedder, cfg, variables)
-    keys = resize_planar(imgs_p[::cfg.step_size], h, w, s, s,
-                         precision=cfg.resize_precision,
-                         gain=gain)                        # (K, s, s, 3) [0,1]
+    if lowres:
+        # the heatmap needs every frame at proc res (ref videoseal.py:304-307
+        # resizes the whole chunk); keys are a view of the same resize
+        frames_res = resize_planar(imgs_p, h, w, s, s,
+                                   precision=cfg.resize_precision,
+                                   gain=gain)              # (F, s, s, 3) [0,1]
+        keys = frames_res[::cfg.step_size]
+    else:
+        keys = resize_planar(imgs_p[::cfg.step_size], h, w, s, s,
+                             precision=cfg.resize_precision,
+                             gain=gain)                    # (K, s, s, 3) [0,1]
     key_msgs = jnp.broadcast_to(msgs[:1], (keys.shape[0], msgs.shape[-1]))
     preds = _chunked_apply(run_embedder, (keys, key_msgs), cfg.chunk_size)
     preds = _expand_video_mode(preds, imgs_p.shape[0], cfg.step_size,
                                cfg.video_mode).astype(jnp.float32)
     assert preds.shape[-1] == 1, "planar path expects a 1-channel prediction"
+    pred1 = preds[..., 0]
+    if lowres:
+        if attenuation.in_channels == 1:
+            # shift-add luminance formulation — single-channel grouped convs
+            # waste the MXU (see JND.heatmap_lum)
+            hm1 = attenuation.heatmap_lum(frames_res.astype(jnp.float32))
+        else:
+            hm1 = attenuation.heatmaps(frames_res.astype(jnp.float32))[..., 0]
+        pred1 = hm1 * pred1
     if with_detect_input:
         imgs_wp, det = fused_jnd_blend_planar(
-            imgs_p, preds[..., 0], scaling_w, scaling_i, h, w,
-            interpret=interpret, detect_size=s)
+            imgs_p, pred1, scaling_w, scaling_i, h, w,
+            interpret=interpret, detect_size=s, lowres=lowres)
         return imgs_wp, jnp.transpose(det, (0, 2, 3, 1))   # (F, s, s, 3)
-    return fused_jnd_blend_planar(imgs_p, preds[..., 0], scaling_w, scaling_i,
-                                  h, w, interpret=interpret)
+    return fused_jnd_blend_planar(imgs_p, pred1, scaling_w, scaling_i,
+                                  h, w, interpret=interpret, lowres=lowres)
 
 
 def detect_pipeline_planar(extractor, cfg: PipelineConfig, variables, imgs_wp,
@@ -439,11 +466,15 @@ class VideoSeal:
                 and self.cfg.blending_method == "additive"
                 and self.embedder_spec.out_channels == 1)
 
-    def embed_planar(self, imgs_p, h: int, w: int, msgs=None) -> dict:
+    def embed_planar(self, imgs_p, h: int, w: int, msgs=None,
+                     lowres_attenuation: bool | None = None) -> dict:
         """Video embed over padded planar RGB u8 frames
         (kernels/fused_planar.planar_shape; what native.VideoReader
         .read_planar returns). Returns planar watermarked frames — one fused
-        Pallas pass does JND + prediction upsample + blend on u8 planes."""
+        Pallas pass does JND + prediction upsample + blend on u8 planes.
+        lowres_attenuation (default: cfg) applies the JND at processing
+        resolution, the reference's video-serving mode
+        (inference_streaming.py:28)."""
         imgs_p = jnp.asarray(imgs_p)
         if msgs is None:
             msgs = self.get_random_msg(1)
@@ -451,7 +482,8 @@ class VideoSeal:
         imgs_w = embed_pipeline_planar(
             self.embedder_spec.module, self.attenuation, self.cfg,
             self.embedder_vars, imgs_p, msgs, jnp.float32(self.scaling_w),
-            jnp.float32(self.scaling_i), h, w)
+            jnp.float32(self.scaling_i), h, w,
+            lowres_attenuation=lowres_attenuation)
         return {"imgs_w": imgs_w, "msgs": msgs}
 
     def detect_planar(self, imgs_wp, h: int, w: int) -> dict:

@@ -87,6 +87,62 @@ class JND:
         h = h / 255.0
         return h.reshape(shape[:-1] + (self.out_channels,)).astype(imgs.dtype)
 
+    def heatmap_lum(self, imgs: jnp.ndarray, clc: float = 0.3) -> jnp.ndarray:
+        """TPU fast path of the in_channels=1 heatmap: (..., H, W, 3) in
+        [0,1] -> (..., H, W) heat in [0,1], identical math to
+        `heatmaps(...)[..., 0]` for jnd_1_*.
+
+        Single-channel grouped convs map terribly onto the MXU (1x1 of a
+        128x128 systolic array), so this formulates the two stencils as
+        shift-adds on 2D luminance planes — the 5x5 LUM kernel is
+        (5x5 box) + (3x3 box) - 2*center, both boxes separable, and Sobel is
+        separable too; XLA fuses the whole chain into one VPU pass. Used by
+        the lowres-attenuation planar serving mode (proc-res heatmaps,
+        reference videoseal.py:321-331)."""
+        shape = imgs.shape
+        x = imgs.reshape((-1,) + shape[-3:]).astype(jnp.float32) * 255.0
+        lum = (_RGB_W[0] * x[..., 0] + _RGB_W[1] * x[..., 1]
+               + _RGB_W[2] * x[..., 2])                       # (B, H, W)
+        b, h, w = lum.shape
+        p = jnp.pad(lum, ((0, 0), (2, 2), (2, 2)))
+
+        def vsum(src, n, top):
+            acc = jax.lax.slice(src, (0, top, 0), (b, top + h, w + 4))
+            for d in range(1, n):
+                acc = acc + jax.lax.slice(src, (0, top + d, 0),
+                                          (b, top + d + h, w + 4))
+            return acc
+
+        def hsum(src, n, left):
+            acc = jax.lax.slice(src, (0, 0, left), (b, h, left + w))
+            for d in range(1, n):
+                acc = acc + jax.lax.slice(src, (0, 0, left + d),
+                                          (b, h, left + d + w))
+            return acc
+
+        col5, col3 = vsum(p, 5, 0), vsum(p, 3, 1)
+        la = (hsum(col5, 5, 0) + hsum(col3, 3, 1) - 2.0 * lum) * (1.0 / 32.0)
+        lo = 17.0 * (1.0 - jnp.sqrt(jnp.maximum(la, 0.0) * (1.0 / 127.0)
+                                    + 1e-5))
+        hi = (3.0 / 128.0) * (la - 127.0) + 3.0
+        la = jnp.where(la <= 127.0, lo, hi)
+
+        t = (jax.lax.slice(p, (0, 1, 0), (b, 1 + h, w + 4))
+             + 2.0 * jax.lax.slice(p, (0, 2, 0), (b, 2 + h, w + 4))
+             + jax.lax.slice(p, (0, 3, 0), (b, 3 + h, w + 4)))
+        gx = (jax.lax.slice(t, (0, 0, 3), (b, h, 3 + w))
+              - jax.lax.slice(t, (0, 0, 1), (b, h, 1 + w)))
+        s_diff = (jax.lax.slice(p, (0, 1, 0), (b, 1 + h, w + 4))
+                  - jax.lax.slice(p, (0, 3, 0), (b, 3 + h, w + 4)))
+        gy = (jax.lax.slice(s_diff, (0, 0, 1), (b, h, 1 + w))
+              + 2.0 * jax.lax.slice(s_diff, (0, 0, 2), (b, h, 2 + w))
+              + jax.lax.slice(s_diff, (0, 0, 3), (b, h, 3 + w)))
+        cm2 = gx * gx + gy * gy
+        cm = jnp.sqrt(jnp.maximum(cm2, 1e-12))
+        cm = 0.117 * (16.0 * cm ** 2.4 / (cm2 + 26.0 ** 2))
+        heat = jnp.maximum(la + cm - clc * jnp.minimum(la, cm), 0.0)
+        return (heat * (1.0 / 255.0)).reshape(shape[:-1]).astype(imgs.dtype)
+
     def __call__(self, imgs: jnp.ndarray, imgs_w: jnp.ndarray) -> jnp.ndarray:
         """imgs + hmaps * (imgs_w - imgs) (jnd.py:110-114)."""
         return imgs + self.heatmaps(imgs) * (imgs_w - imgs)
