@@ -37,6 +37,32 @@ def construct_loss(loss_type: str):
     raise NotImplementedError(f"Loss {loss_type} is not implemented.")
 
 
+def adversarial_perturb(score_fn, imgs_w, key, n_steps: int,
+                        min_perturbation: float = 1e-3,
+                        max_perturbation: float = 3e-2,
+                        use_grad_sign_only: bool = False,
+                        use_rand_perturbation: bool = False):
+    """Inner adversarial ascent (wmforger/train.py:463-480): n unrolled
+    gradient-ascent steps on an additive perturbation maximizing
+    mean(score_fn(imgs_w + pert)) — the attacker trying to make the
+    watermarked image look 'real'. Module-level so tests can check the
+    ascent raises the score monotonically."""
+    import jax
+    import jax.numpy as jnp
+
+    if use_rand_perturbation:
+        pert = (jax.random.uniform(key, imgs_w.shape) * 2 - 1) * min_perturbation
+    else:
+        pert = jnp.zeros_like(imgs_w)
+    for i in range(n_steps):
+        g = jax.grad(lambda p: -jnp.mean(score_fn(imgs_w + p)))(pert)
+        lr = jax.random.uniform(jax.random.fold_in(key, i), (),
+                                minval=min_perturbation, maxval=max_perturbation)
+        step_vec = jnp.sign(g) if use_grad_sign_only else g
+        pert = pert - lr * step_vec
+    return jax.lax.stop_gradient(jnp.clip(imgs_w + pert, 0, 1))
+
+
 def make_train_step(extractor, loss_type: str, optimizer,
                     n_perturbation_steps: int = 0,
                     min_perturbation: float = 1e-3,
@@ -58,18 +84,10 @@ def make_train_step(extractor, loss_type: str, optimizer,
         return extractor.apply({"params": params}, x)[..., 0]
 
     def perturb(params, imgs_w, key):
-        """Inner adversarial ascent (wmforger/train.py:463-480)."""
-        if use_rand_perturbation:
-            pert = (jax.random.uniform(key, imgs_w.shape) * 2 - 1) * min_perturbation
-        else:
-            pert = jnp.zeros_like(imgs_w)
-        for i in range(n_perturbation_steps):
-            g = jax.grad(lambda p: -jnp.mean(score(params, imgs_w + p)))(pert)
-            lr = jax.random.uniform(jax.random.fold_in(key, i), (),
-                                    minval=min_perturbation, maxval=max_perturbation)
-            step_vec = jnp.sign(g) if use_grad_sign_only else g
-            pert = pert - lr * step_vec
-        return jax.lax.stop_gradient(jnp.clip(imgs_w + pert, 0, 1))
+        return adversarial_perturb(
+            functools.partial(score, params), imgs_w, key,
+            n_perturbation_steps, min_perturbation, max_perturbation,
+            use_grad_sign_only, use_rand_perturbation)
 
     def train_step(params, opt_state, batch, key):
         imgs, imgs_w = batch["imgs"], batch["imgs_w"]
@@ -145,10 +163,17 @@ def main(args=None):
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--tiny", type=int, default=0)
     p.add_argument("--output", default="wmforger_ckpt.npz")
+    p.add_argument("--cpu", type=int, default=0,
+                   help="pin jax_default_device to the host CPU (escape "
+                        "hatch when the TPU tunnel is down or busy; same "
+                        "knob as train.py --cpu)")
     args = p.parse_args(args)
 
     import jax
     import optax
+
+    if args.cpu:
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
     from ..models.extractor import build_extractor
     from ..utils.checkpoint import flatten_tree
