@@ -64,6 +64,20 @@ class TestVideoEval:
         assert np.isfinite(scalars["psnr"]) and np.isfinite(scalars["ssim"])
         assert 0.0 <= scalars["bit_acc_identity_0"] <= 1.0
 
+    def test_video_grid_has_codec_row(self):
+        """is_video=True sweeps the VIDEO validation grid (ref train.py:538):
+        the subset grid's codec row (h264, jittable proxy) replaces the image
+        grid's jpeg row, and temporal codec rows are applied per clip."""
+        mods = _modules()
+        state = _state(mods)
+        fn = make_intrain_eval(mods, eval_augs="subset", is_video=True)
+        rng = np.random.default_rng(3)
+        clips = rng.uniform(0.2, 0.8, (2, 4, SIZE, SIZE, 3)).astype(np.float32)
+        scalars, _ = fn(state, clips, jax.random.PRNGKey(0))
+        assert "bit_acc_h264_30" in scalars, sorted(scalars)
+        assert "bit_acc_jpeg_60" not in scalars
+        assert np.isfinite(scalars["bit_acc_h264_30"])
+
     def test_video_propagation_matches_step_size(self):
         """Non-key frames carry the key frame's watermark (video_mode
         'repeat'): frames inside a step group get identical deltas."""

@@ -551,6 +551,12 @@ class VideoCompressionExact(Aug):
     fps: int = 24
     name = "h264"
 
+    def __post_init__(self):
+        # row names key eval dicts: h265/vp9/... rows must not all collide
+        # on the class-level "h264" (ref names each codec class distinctly,
+        # augmentation/__init__.py:92-97)
+        self.name = self.codec
+
     def apply(self, key, img, mask):
         crf = jax.random.uniform(key, (), minval=float(self.min_crf),
                                  maxval=float(self.max_crf + 1))
@@ -576,6 +582,9 @@ class VideoCompressionProxy(Aug):
     codec: str = "h264"
     temporal_mix: float = 0.15
     name = "h264"
+
+    def __post_init__(self):
+        self.name = self.codec  # see VideoCompressionExact.__post_init__
 
     def apply(self, key, img, mask):
         crf = jax.random.randint(key, (), self.min_crf, self.max_crf + 1)

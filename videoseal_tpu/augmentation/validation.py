@@ -33,24 +33,30 @@ class Sequential(A.Aug):
         return "_".join(repr(a) for a in self.augs)
 
 
-def _codec(codec: str):
-    """Exact native codec when available, differentiable proxy otherwise."""
+def _codec(codec: str, jittable: bool = False):
+    """Exact native codec when available, differentiable proxy otherwise.
+
+    jittable=True forces the on-device proxy even when the native runtime is
+    present — the in-training eval jits every row once at construction
+    (evals/intrain.py), and a host codec cannot live inside jit."""
     from .. import native
-    if native.available() and native.codec_available(codec):
+    if not jittable and native.available() and native.codec_available(codec):
         return A.VideoCompressionExact(codec=codec)
     return A.VideoCompressionProxy(codec=codec)
 
 
-def get_validation_augs_subset(is_video: bool = False) -> list:
+def get_validation_augs_subset(is_video: bool = False,
+                               jittable: bool = False) -> list:
     return [
         (A.Identity(), [0]),
         (A.Crop(), [0.71]),
         (A.Brightness(), [1.5]),
-        (A.JPEG(), [60]) if not is_video else (_codec("h264"), [30]),
+        (A.JPEG(), [60]) if not is_video else (_codec("h264", jittable), [30]),
     ]
 
 
-def get_validation_augs_geometric(is_video: bool = False) -> list:
+def get_validation_augs_geometric(is_video: bool = False,
+                                  jittable: bool = False) -> list:
     """Compact grid for tracking geometric-robustness training (Stage-C).
 
     Not a reference grid: the reference's in-training sweep uses the full or
@@ -64,12 +70,12 @@ def get_validation_augs_geometric(is_video: bool = False) -> list:
         (A.Crop(), [0.5]),
         (A.Perspective(), [0.3, 0.5]),
         (A.Brightness(), [1.5]),
-        (A.JPEG(), [60]) if not is_video else (_codec("h264"), [30]),
+        (A.JPEG(), [60]) if not is_video else (_codec("h264", jittable), [30]),
     ]
 
 
-def get_combined_augs(is_video: bool = False) -> list:
-    first = (_codec("h264") if is_video else A.JPEG())
+def get_combined_augs(is_video: bool = False, jittable: bool = False) -> list:
+    first = (_codec("h264", jittable) if is_video else A.JPEG())
     vals = [23, 30, 40, 50] if is_video else [40, 60, 80]
     return [(Sequential(first, A.Crop(), A.Brightness()), [(v, 0.71, 0.5)])
             for v in vals]
@@ -77,7 +83,8 @@ def get_combined_augs(is_video: bool = False) -> list:
 
 def get_validation_augs(is_video: bool = False, only_identity: bool = False,
                         only_combined: bool = False,
-                        extended: bool = False) -> list:
+                        extended: bool = False,
+                        jittable: bool = False) -> list:
     """Mirror of augmentation/__init__.py:58-124 strength grids.
 
     `extended` adds rows the reference registers as attacks but leaves out of
@@ -88,9 +95,9 @@ def get_validation_augs(is_video: bool = False, only_identity: bool = False,
     if only_identity:
         return [(A.Identity(), [0])]
     if only_combined:
-        return get_combined_augs(is_video)
+        return get_combined_augs(is_video, jittable)
     if is_video:
-        extra = [(_codec("av1"), [30, 40, 50])] if extended else []
+        extra = [(_codec("av1", jittable), [30, 40, 50])] if extended else []
         return [
             (A.Identity(), [0]),
             (A.HorizontalFlip(), [0]),
@@ -105,12 +112,12 @@ def get_validation_augs(is_video: bool = False, only_identity: bool = False,
             (A.Grayscale(), [-1]),
             (A.JPEG(), [40]),
             (A.GaussianBlur(), [9]),
-            (_codec("h264"), [23, 30, 40, 50]),
-            (_codec("h264rgb"), [23, 30, 40, 50]),
-            (_codec("h265"), [23, 30, 40, 50]),
-            (_codec("vp9"), [-1]),  # default-bitrate mode (ref __init__.py:92)
+            (_codec("h264", jittable), [23, 30, 40, 50]),
+            (_codec("h264rgb", jittable), [23, 30, 40, 50]),
+            (_codec("h265", jittable), [23, 30, 40, 50]),
+            (_codec("vp9", jittable), [-1]),  # default-bitrate mode (ref __init__.py:92)
             *extra,
-            *get_combined_augs(is_video=True),
+            *get_combined_augs(is_video=True, jittable=jittable),
         ]
     extra = ([(A.Saturation(), [0.5, 1.0, 1.5, 2.0]),
               (A.MedianFilter(), [3, 5, 9, 13, 17]),

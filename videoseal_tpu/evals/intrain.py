@@ -107,14 +107,19 @@ def make_intrain_eval(mods, eval_augs: str = "subset",
     quality_fn = jax.jit(lambda a, b: (jnp.mean(psnr(_flat(a), _flat(b))),
                                        jnp.mean(ssim(_flat(a), _flat(b)))))
 
+    # video modality sweeps the VIDEO grid (ref train.py:538 passes
+    # val_modality == VIDEO into get_validation_augs*): codec rows use the
+    # jittable differentiable proxy — a host codec cannot live inside the
+    # jit-once row programs; exact codecs stay in the offline eval
+    # (evals/full.py)
     if eval_augs == "identity":
-        grid = get_validation_augs(is_video=False, only_identity=True)
+        grid = get_validation_augs(is_video=is_video, only_identity=True)
     elif eval_augs == "full":
-        grid = get_validation_augs(is_video=False)
+        grid = get_validation_augs(is_video=is_video, jittable=True)
     elif eval_augs == "geometric":
-        grid = get_validation_augs_geometric(is_video=False)
+        grid = get_validation_augs_geometric(is_video=is_video, jittable=True)
     else:
-        grid = get_validation_augs_subset(is_video=False)
+        grid = get_validation_augs_subset(is_video=is_video, jittable=True)
 
     want_det = lambda_det > 0
 
@@ -126,7 +131,19 @@ def make_intrain_eval(mods, eval_augs: str = "subset",
             n = flat_w.shape[0]
             mask_b = jnp.broadcast_to(mask, (n,) + flat_w.shape[1:3] + (1,))
             masked = flat_w * mask_b + flat_o * (1.0 - mask_b)
-            att, mask_aug = aug.apply_strength(masked, mask_b, strength)
+            if is_video:
+                # apply the attack PER CLIP: temporal codec proxies (and any
+                # frame-coupled aug) must see one clip's frames as their
+                # leading axis, not V*F flattened across clip boundaries
+                v, f = imgs.shape[0], imgs.shape[1]
+                clip = lambda a: a.reshape((v, f) + a.shape[1:])
+                att, mask_aug = jax.vmap(
+                    lambda im, ma: aug.apply_strength(im, ma, strength)
+                )(clip(masked), clip(mask_b))
+                att = _flat(att)
+                mask_aug = _flat(mask_aug)
+            else:
+                att, mask_aug = aug.apply_strength(masked, mask_b, strength)
             att = resize_bilinear(att, s, s)
             preds = mods.extractor.apply(
                 {"params": state.extractor_params}, att)
@@ -138,7 +155,10 @@ def make_intrain_eval(mods, eval_augs: str = "subset",
                 # spatial resolution (metrics.py:150-178)
                 m_res = resize_bilinear(mask_aug, preds.shape[1],
                                         preds.shape[2])
-                out["bit_acc"] = jnp.mean(bit_accuracy(
+                # nanmean: items whose augmented mask is empty yield NaN
+                # from bit_accuracy (reference masked_select semantics) and
+                # are excluded from the row mean
+                out["bit_acc"] = jnp.nanmean(bit_accuracy(
                     preds[..., 1:], frame_msgs, mask=m_res))
                 if want_det:
                     m_orig = resize_bilinear(mask_b, preds.shape[1],

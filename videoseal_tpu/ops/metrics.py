@@ -139,16 +139,28 @@ def bit_accuracy(preds: jnp.ndarray, targets: jnp.ndarray,
     targets: (B, K) bits; mask: optional (B, H, W, 1) for the pixelwise case.
     """
     p = preds > threshold
+    empty = None
     if p.ndim == 4:
         if mask is not None:
-            m = (mask > 0.5).astype(jnp.float32)
+            # reference casts the mask with .bool() — ANY nonzero pixel is
+            # selected (metrics.py:169), not a 0.5 threshold; this matters
+            # when a downscaled binary mask leaves fractional edge values
+            m = (mask > 0).astype(jnp.float32)
             num = jnp.sum(p.astype(jnp.float32) * m, axis=(1, 2))
-            den = jnp.maximum(jnp.sum(m, axis=(1, 2)), 1e-8)
-            p = (num / den) > 0.5
+            den = jnp.sum(m, axis=(1, 2))
+            p = (num / jnp.maximum(den, 1e-8)) > 0.5
+            # an aug can wipe the whole masked region (e.g. crop): the
+            # reference's masked_select path then yields NaN, which its
+            # nanmean excludes (metrics.py:150-178) — mirror that instead of
+            # silently logging ~0.5
+            empty = jnp.sum(m, axis=(1, 2, 3)) == 0
         else:
             p = jnp.mean(p.astype(jnp.float32), axis=(1, 2)) > 0.5
     t = targets > 0.5
-    return jnp.mean((p == t).astype(jnp.float32), axis=-1)
+    acc = jnp.mean((p == t).astype(jnp.float32), axis=-1)
+    if empty is not None:
+        acc = jnp.where(empty, jnp.nan, acc)
+    return acc
 
 
 def bit_accuracy_1msg(preds: jnp.ndarray, targets: jnp.ndarray,
