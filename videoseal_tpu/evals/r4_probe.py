@@ -77,25 +77,39 @@ def main():
         report("resize_det", time_stage(resize_det, wm_p, args.k))
 
     if "extract" in stages:
-        from videoseal_tpu.models.videoseal import _detect_resized
         frames256 = jnp.asarray(
             rng.uniform(0, 1, (args.frames, s, s, 3)), jnp.bfloat16)
         xvars = model.extractor_vars
 
-        def ext(a, e):
-            xv, fr = a
-            return _detect_resized(model.extractor_spec.module, cfg, xv,
-                                   _perturb(fr, e))
-        report("extractor_multi", time_stage(ext, (xvars, frames256), args.k))
+        # A/B the block-grouping knob EXPLICITLY (advisor round-4 finding:
+        # monkeypatching blocks_per_step was a no-op once the production
+        # default reverted to max_block_group=1 — both stages measured the
+        # single-block config). The multi variant reproduces _detect_resized's
+        # fused path with max_block_group raised via the real kwarg.
+        from videoseal_tpu.kernels.convnext_fused import convnext_apply_fused
+        from videoseal_tpu.modules.pixel_decoder import PixelDecoder
+        enc = model.extractor_spec.module.encoder
 
-        import videoseal_tpu.kernels.convnext_fused as cf
-        orig = cf.blocks_per_step
-        cf.blocks_per_step = lambda *a, **kw: 1
-        try:
-            report("extractor_single",
-                   time_stage(ext, (xvars, frames256), args.k))
-        finally:
-            cf.blocks_per_step = orig
+        def make_ext(max_block_group):
+            def ext(a, e):
+                xv, fr = a
+                x = _perturb(fr, e).astype(jnp.bfloat16)
+                feats = convnext_apply_fused(
+                    xv["params"]["encoder"], x * 2 - 1,
+                    depths=tuple(enc.get("depths", (3, 3, 9, 3))),
+                    dims=tuple(enc.get("dims", (96, 192, 384, 768))),
+                    stem_stride=enc.get("stem_stride", 4),
+                    max_block_group=max_block_group)
+                preds = PixelDecoder(
+                    **model.extractor_spec.module.pixel_decoder).apply(
+                    {"params": xv["params"]["pixel_decoder"]}, feats)
+                return preds.astype(jnp.float32)
+            return ext
+
+        report("extractor_multi",
+               time_stage(make_ext(4), (xvars, frames256), args.k))
+        report("extractor_single",
+               time_stage(make_ext(1), (xvars, frames256), args.k))
 
 
 if __name__ == "__main__":

@@ -69,6 +69,10 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--card", default="videoseal_1.0")
     ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--decompose", action="store_true",
+                    help="also run the full-pipeline check + JND/blend "
+                         "decomposition + HBM copy baselines (the former "
+                         "stage_bench2, folded in per the round-4 advisor)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -161,6 +165,51 @@ def main():
         return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
     report("fused_jnd_delta+blend(fullres)", time_stage(
         blend_u8, (frames_u8, predsf), args.k))
+
+    if not args.decompose:
+        return
+
+    # -- decomposition stages (formerly stage_bench2) -----------------------
+    from videoseal_tpu.models.videoseal import embed_pipeline
+
+    # full embed+extract: validates the stage harness vs bench.py end-to-end
+    def full(a, e):
+        fr, mm = a
+        imgs_w, _ = embed_pipeline(emb, model.attenuation, cfg,
+                                   evars, fr, mm,
+                                   jnp.float32(0.2) * (1 + e),
+                                   jnp.float32(1.0),
+                                   is_video=True, lowres_attenuation=False)
+        preds = detect_pipeline(model.extractor_spec.module, cfg,
+                                xvars, imgs_w)
+        return imgs_w, preds
+    report("full_embed_extract", time_stage(full, (frames_u8, msgs), args.k))
+
+    # delta kernel alone (no downstream blend)
+    def delta_only(a, e):
+        fr, pr = a
+        return fused_jnd_delta(fr, pr, jnp.float32(0.2) * (1 + e))
+    report("fused_jnd_delta(only)", time_stage(
+        delta_only, (frames_u8, predsf), args.k))
+
+    # elementwise blend alone (delta precomputed)
+    delta0 = jnp.asarray(rng.uniform(-0.01, 0.01, predsf.shape), jnp.float32)
+
+    def blend_only(a, e):
+        fr, d = a
+        out = fr.astype(jnp.float32) + 255.0 * _perturb(d, e)[..., None]
+        return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+    report("blend_elementwise(only)", time_stage(
+        blend_only, (frames_u8, delta0), args.k))
+
+    # HBM copy baselines for calibration
+    def copy_u8(a, e):
+        return a + jnp.uint8(e.astype(jnp.int32) % 2)
+    report("hbm_copy_u8(frames)", time_stage(copy_u8, frames_u8, args.k))
+
+    def copy_f32(a, e):
+        return _perturb(a, e) + 1.0
+    report("hbm_copy_f32(preds_plane)", time_stage(copy_f32, predsf, args.k))
 
 
 if __name__ == "__main__":
