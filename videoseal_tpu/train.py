@@ -89,6 +89,14 @@ def get_parser():
     p.add_argument("--tensorboard", type=int, default=1,
                    help="write TB scalars + snapshot images (train.py:679-701)")
     p.add_argument("--resume", default=None)
+    p.add_argument("--reset_disc", type=int, default=0,
+                   help="on --resume, keep a FRESH discriminator (+ its opt "
+                        "state) instead of the checkpoint's. A stale disc "
+                        "from an earlier GAN stage is instantly confident "
+                        "against the resumed watermark and its hinge-G "
+                        "gradient crushes the message before the disc gate "
+                        "(--disc_start, compared against the RESTORED global "
+                        "step) would let a scratch disc warm up.")
     p.add_argument("--ckpt_format", default="npz", choices=["npz", "orbax"],
                    help="orbax: sharded multi-host checkpoints (per-host "
                         "shard writes; resharding resume)")
@@ -248,10 +256,14 @@ def main(args=None):
     state = create_train_state(mods, opt_g, opt_d, seed=args.seed,
                                scaling_w=args.scaling_w)
     if args.resume:
+        fresh = state
         if args.ckpt_format == "orbax" or os.path.isdir(args.resume):
             state, _ = ckpt_io.load_train_state_orbax(args.resume, state)
         else:
             state = ckpt_io.load_train_state(args.resume, state)
+        if args.reset_disc:
+            state = state.replace(disc_params=fresh.disc_params,
+                                  opt_state_d=fresh.opt_state_d)
 
     scaling_sched = (ScalingSchedule(args.scaling_w_schedule, args.scaling_w)
                      if args.scaling_w_schedule else None)
