@@ -96,6 +96,26 @@ class TestFusedForward:
             {"params": v["params"]["pixel_decoder"]}, feats)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
 
+    def test_max_block_group_parity(self):
+        """convnext_apply_fused(max_block_group=4) == the default k=1 path.
+        The grouping measured NEGATIVE end-to-end (round-4 ledger) so the
+        production default stays 1, but the knob stays available — this
+        covers the plumbing the probes (r4_probe) exercise."""
+        from videoseal_tpu.kernels.convnext_fused import convnext_apply_fused
+        from videoseal_tpu.modules.convnext import ConvNeXtV2
+        rng = np.random.default_rng(11)
+        depths, dims = (2, 2, 2, 2), (8, 16, 32, 64)
+        enc = ConvNeXtV2(depths=depths, dims=dims)
+        x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32))
+        v = enc.init(jax.random.PRNGKey(0), x)
+        kw = dict(depths=depths, dims=dims, interpret=True)
+        ref = convnext_apply_fused(v["params"], x, max_block_group=1, **kw)
+        got = convnext_apply_fused(v["params"], x, max_block_group=4, **kw)
+        for a, b in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       atol=2e-2, rtol=2e-2)
+
 
 class TestMultiBlockKernel:
     @pytest.mark.parametrize("k", [2, 3])
