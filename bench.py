@@ -40,6 +40,13 @@ def main():
     ap.add_argument("--layout", default="planar", choices=["planar", "nhwc"],
                     help="uint8 frame layout: padded planar RGB (what the "
                          "native decoder writes; fastest) or interleaved NHWC")
+    ap.add_argument("--fused_detect", type=int, default=0,
+                    help="planar mode: produce the extractor input inside the "
+                         "blend kernel (with_detect_input) instead of a "
+                         "separate resize. Round 4 measured this NEGATIVE in "
+                         "the full-res-JND kernel (the in-kernel matmul "
+                         "serializes with the VPU JND math); in lowres mode "
+                         "the VPU work is gone, so the trade re-measures.")
     ap.add_argument("--trace_dir", default=None,
                     help="after measuring, capture a jax.profiler trace of "
                          "one chained run of the scored pipeline")
@@ -48,7 +55,8 @@ def main():
     import jax
     import jax.numpy as jnp
     import videoseal_tpu as vs
-    from videoseal_tpu.models.videoseal import (detect_pipeline,
+    from videoseal_tpu.models.videoseal import (_detect_resized,
+                                                detect_pipeline,
                                                 detect_pipeline_planar,
                                                 embed_pipeline,
                                                 embed_pipeline_planar)
@@ -72,15 +80,26 @@ def main():
             # +3.3 ms of serialized in-kernel matmul vs the 2.84 ms resize it
             # replaces (Mosaic does not overlap a tile's MXU epilogue with its
             # VPU JND math) — the resize path stays the scored configuration.
-            @jax.jit
-            def embed_extract(frames, msgs, gain=None):
-                imgs_w = embed_pipeline_planar(
-                    emb_mod, att, cfg, evars, frames, msgs, jnp.float32(0.2),
-                    jnp.float32(1.0), H, W, gain=gain,
-                    lowres_attenuation=lowres_mode)
-                preds = detect_pipeline_planar(ext_mod, cfg, xvars, imgs_w,
-                                               H, W)
-                return imgs_w, preds
+            if args.fused_detect:
+                @jax.jit
+                def embed_extract(frames, msgs, gain=None):
+                    imgs_w, det = embed_pipeline_planar(
+                        emb_mod, att, cfg, evars, frames, msgs,
+                        jnp.float32(0.2), jnp.float32(1.0), H, W, gain=gain,
+                        with_detect_input=True,
+                        lowres_attenuation=lowres_mode)
+                    preds = _detect_resized(ext_mod, cfg, xvars, det)
+                    return imgs_w, preds
+            else:
+                @jax.jit
+                def embed_extract(frames, msgs, gain=None):
+                    imgs_w = embed_pipeline_planar(
+                        emb_mod, att, cfg, evars, frames, msgs,
+                        jnp.float32(0.2), jnp.float32(1.0), H, W, gain=gain,
+                        lowres_attenuation=lowres_mode)
+                    preds = detect_pipeline_planar(ext_mod, cfg, xvars,
+                                                   imgs_w, H, W)
+                    return imgs_w, preds
         else:
             @jax.jit
             def embed_extract(frames, msgs):

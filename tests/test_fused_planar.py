@@ -153,6 +153,28 @@ class TestFusedDetectOutput:
         got = np.asarray(jnp.transpose(det, (0, 2, 3, 1)))
         np.testing.assert_allclose(got, np.asarray(ref), atol=3.0 / 255.0)
 
+    def test_detect_output_lowres_mode(self):
+        """lowres=True + detect_size: the combination the lowres serving
+        bench exercises (bench.py --fused_detect). The emit path is
+        independent of the JND placement, so the in-kernel downscale must
+        still match resizing the kernel's own u8 output."""
+        from videoseal_tpu.ops.resize import resize_bilinear
+        F, H, W, s, ds = 2, 216, 384, 64, 128
+        rng = np.random.default_rng(15)
+        imgs = jnp.asarray(rng.integers(0, 256, (F, H, W, 3)), jnp.uint8)
+        # lowres mode: pred arrives pre-attenuated (heat * pred), small
+        pred_low = jnp.asarray(rng.uniform(-0.05, 0.05, (F, s, s)),
+                               jnp.float32)
+        imgs_p = pack_planar(imgs)
+        out_p, det = fused_jnd_blend_planar(imgs_p, pred_low, 0.2, 1.0, H, W,
+                                            interpret=True, detect_size=ds,
+                                            lowres=True)
+        out = unpack_planar(out_p, H, W)
+        ref = resize_bilinear(out.astype(jnp.float32) / 255.0, ds, ds,
+                              precision="highest")
+        got = np.asarray(jnp.transpose(det, (0, 2, 3, 1)))
+        np.testing.assert_allclose(got, np.asarray(ref), atol=3.0 / 255.0)
+
     def test_pipeline_with_detect_input(self):
         """embed_pipeline_planar(with_detect_input=True) returns the same u8
         frames as the plain call plus a proc-res NHWC detect input."""
