@@ -40,13 +40,16 @@ def main():
     ap.add_argument("--layout", default="planar", choices=["planar", "nhwc"],
                     help="uint8 frame layout: padded planar RGB (what the "
                          "native decoder writes; fastest) or interleaved NHWC")
-    ap.add_argument("--fused_detect", type=int, default=0,
+    ap.add_argument("--fused_detect", type=int, default=None,
                     help="planar mode: produce the extractor input inside the "
                          "blend kernel (with_detect_input) instead of a "
                          "separate resize. Round 4 measured this NEGATIVE in "
                          "the full-res-JND kernel (the in-kernel matmul "
-                         "serializes with the VPU JND math); in lowres mode "
-                         "the VPU work is gone, so the trade re-measures.")
+                         "serializes with the VPU JND math); round 5 measured "
+                         "it POSITIVE in lowres mode (2027 vs 1964 fps — no "
+                         "VPU JND work left to serialize against). Default: "
+                         "on in lowres mode, off in full-res mode (each "
+                         "mode's measured-best configuration).")
     ap.add_argument("--trace_dir", default=None,
                     help="after measuring, capture a jax.profiler trace of "
                          "one chained run of the scored pipeline")
@@ -74,13 +77,18 @@ def main():
     H, W = args.height, args.width
 
     def make_embed_extract(lowres_mode):
+        # Detect-side downscale placement is mode-dependent (measured):
+        #   full-res JND kernel: with_detect_input costs +3.3 ms of
+        #     serialized in-kernel matmul vs the 2.84 ms resize it replaces
+        #     (Mosaic does not overlap a tile's MXU epilogue with its VPU JND
+        #     math — round-4 ledger), so the separate resize stays.
+        #   lowres kernel: the VPU JND math is gone, the in-kernel downscale
+        #     rides the already-resident u8 tiles and WINS (2027 vs 1964 fps,
+        #     round-5 ledger) — the fused path is the scored configuration.
+        fused_detect = (lowres_mode if args.fused_detect is None
+                        else bool(args.fused_detect))
         if planar:
-            # NOTE round-4 measured negative: embedding the detect-side
-            # downscale INTO the blend kernel (with_detect_input=True) costs
-            # +3.3 ms of serialized in-kernel matmul vs the 2.84 ms resize it
-            # replaces (Mosaic does not overlap a tile's MXU epilogue with its
-            # VPU JND math) — the resize path stays the scored configuration.
-            if args.fused_detect:
+            if fused_detect:
                 @jax.jit
                 def embed_extract(frames, msgs, gain=None):
                     imgs_w, det = embed_pipeline_planar(

@@ -284,3 +284,54 @@ class TestPlanarPipeline:
         d = np.abs(got - ref)
         assert d.max() <= 1, f"max u8 diff {d.max()}"
         assert (d > 0).mean() < 1e-2
+
+
+class TestEmbedDetectPlanarAPI:
+    def test_fused_matches_separate_resize(self):
+        """VideoSeal.embed_detect_planar: the fused_detect path (extractor
+        input produced inside the blend kernel) must return the SAME
+        watermarked planes as the separate-resize path, and detection logits
+        within the 3-LSB resize tolerance of the kernel's bf16 downscale
+        matmuls. This is the scored serving configuration of bench.py
+        (lowres mode -> fused_detect on)."""
+        import jax
+        from videoseal_tpu.models.embedder import build_embedder
+        from videoseal_tpu.models.extractor import build_extractor
+        from videoseal_tpu.models.videoseal import PipelineConfig, VideoSeal
+        from videoseal_tpu.modules.jnd import build_attenuation
+
+        s = 128  # detect_size must be lane-aligned (%128) for the emit path
+        emb = build_embedder("unet_tiny_yuv", {
+            "msg_processor": {"msg_processor_type": "binary+concat"},
+            "unet": {"in_channels": 1, "out_channels": 1, "z_channels": 4,
+                     "num_blocks": 1, "activation": "relu",
+                     "normalization": "batch", "z_channels_mults": [1, 2],
+                     "last_tanh": True}}, 16, 2)
+        ext = build_extractor("convnext_tiny", {
+            "encoder": {"depths": [1, 1, 1, 1], "dims": [8, 16, 32, 64]},
+            "pixel_decoder": {"pixelwise": False, "upscale_stages": [1],
+                              "embed_dim": 64, "sigmoid_output": False}},
+            s, 16)
+        cfg = PipelineConfig(img_size=s, yuv=emb.yuv, nbits=16, step_size=2,
+                             chunk_size=8, lowres_attenuation=True)
+        rng = np.random.default_rng(21)
+        evars = emb.module.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, s, s, 1)),
+                                jnp.zeros((1, 16), jnp.int32))
+        xvars = ext.module.init(jax.random.PRNGKey(1),
+                                jnp.zeros((1, s, s, 3)))
+        model = VideoSeal(emb, ext, evars, xvars,
+                          build_attenuation("jnd_1_1"), cfg)
+        F, H, W = 2, 160, 256
+        imgs = jnp.asarray(rng.integers(0, 256, (F, H, W, 3)), jnp.uint8)
+        msgs = jnp.asarray(rng.integers(0, 2, (1, 16)), jnp.int32)
+        imgs_p = pack_planar(imgs)
+
+        fused = model.embed_detect_planar(imgs_p, H, W, msgs=msgs,
+                                          fused_detect=True, interpret=True)
+        plain = model.embed_detect_planar(imgs_p, H, W, msgs=msgs,
+                                          fused_detect=False, interpret=True)
+        assert bool((fused["imgs_w"] == plain["imgs_w"]).all())
+        assert fused["preds"].shape == plain["preds"].shape == (F, 1 + 16)
+        np.testing.assert_allclose(np.asarray(fused["preds"]),
+                                   np.asarray(plain["preds"]), atol=0.1)

@@ -493,6 +493,49 @@ class VideoSeal:
                                        jnp.asarray(imgs_wp), h, w)
         return {"preds": preds}
 
+    def embed_detect_planar(self, imgs_p, h: int, w: int, msgs=None,
+                            lowres_attenuation: bool | None = None,
+                            fused_detect: bool | None = None,
+                            interpret: bool = False) -> dict:
+        """Embed AND detect in one serving call over padded planar u8 frames
+        — the watermark-then-verify loop (ref evals/full.py's embed→detect
+        flow, videoseal.py:258-388) as one device program.
+
+        fused_detect (default: follow lowres_attenuation) selects where the
+        extractor's 256px input comes from: produced INSIDE the blend
+        kernel's tile loop (with_detect_input — the full-res watermarked
+        planes are never re-read from HBM) or by a separate planar resize.
+        Measured (PERF.md round-4/5 ledgers): the in-kernel path loses in
+        full-res-JND mode (+3.3 ms of matmul serialized against the VPU JND
+        math) and wins in lowres mode (2027 vs 1964 fps @1080p — no VPU work
+        left to serialize against), hence the mode-coupled default.
+        """
+        imgs_p = jnp.asarray(imgs_p)
+        if msgs is None:
+            msgs = self.get_random_msg(1)
+        msgs = jnp.asarray(msgs)
+        lowres = (self.cfg.lowres_attenuation if lowres_attenuation is None
+                  else lowres_attenuation)
+        fused = lowres if fused_detect is None else fused_detect
+        if fused:
+            imgs_w, det = embed_pipeline_planar(
+                self.embedder_spec.module, self.attenuation, self.cfg,
+                self.embedder_vars, imgs_p, msgs, jnp.float32(self.scaling_w),
+                jnp.float32(self.scaling_i), h, w, interpret=interpret,
+                with_detect_input=True, lowres_attenuation=lowres)
+            preds = _detect_resized(self.extractor_spec.module, self.cfg,
+                                    self.extractor_vars, det)
+        else:
+            imgs_w = embed_pipeline_planar(
+                self.embedder_spec.module, self.attenuation, self.cfg,
+                self.embedder_vars, imgs_p, msgs, jnp.float32(self.scaling_w),
+                jnp.float32(self.scaling_i), h, w, interpret=interpret,
+                lowres_attenuation=lowres)
+            preds = detect_pipeline_planar(self.extractor_spec.module,
+                                           self.cfg, self.extractor_vars,
+                                           imgs_w, h, w)
+        return {"imgs_w": imgs_w, "preds": preds, "msgs": msgs}
+
     def extract_message(self, imgs, aggregation: str = "avg") -> jnp.ndarray:
         preds = self.detect(imgs, is_video=True)["preds"]
         if preds.ndim == 4:  # pixelwise extractor: average spatially first
